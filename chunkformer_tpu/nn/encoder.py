@@ -1,0 +1,299 @@
+"""ChunkFormer encoder: the core of the framework.
+
+TPU-native re-design of the reference ChunkFormerEncoder
+(reference: chunkformer/modules/encoder.py:33-681). Three execution modes:
+
+- ``encoder_forward``        — full or limited-context batch forward (training
+                               and offline eval; encoder.py:220-308,461-501)
+- ``encoder_parallel_chunk`` — the masked-batch path over packed chunk rows
+                               with cross-segment caches (encoder.py:503-681)
+- ``encoder_streaming_step`` — one incremental low-latency step with per-layer
+                               KV/conv caches (encoder.py:310-385)
+
+Design notes (how this maps to TPU):
+- Layer stacking: all layer params are stacked on a leading axis and the
+  encoder body is a single ``lax.scan``, so compile time is O(1) in depth and
+  caches thread through the scan carry naturally.
+- All shapes are static: chunk size / contexts are Python ints baked into the
+  jitted program; utterance variability lives entirely in boolean masks.
+- ``jax.checkpoint`` (remat) wraps the scanned layer when
+  gradient_checkpointing is on — the JAX analogue of the reference's FSDP
+  activation checkpointing.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EncoderConfig
+from ..ops.chunk import (calc_length_jax, parallel_chunk_att_mask, parallel_chunk_conv_mask)
+from ..ops.masks import make_non_pad_mask
+from .attention import (attention_chunked_train, attention_full, attention_parallel_chunk,
+                        attention_streaming)
+from .convolution import conv_full, conv_parallel_chunk, conv_streaming
+from .embedding import rel_pos_slice
+from .encoder_layer import encoder_layer_apply, init_encoder_layer
+from .layers import ACTIVATIONS, Params, dropout, init_norm, norm_apply
+from .subsampling import init_subsampling, subsampling_forward
+
+
+def init_encoder(rng, cfg: EncoderConfig, cmvn: Optional[Tuple] = None) -> Params:
+    """Build encoder params. Layer params are stacked along axis 0 for scan."""
+    k_embed, k_layers = jax.random.split(rng)
+    p: Params = {
+        "embed": init_subsampling(k_embed, cfg.input_size, cfg.output_size, cfg.output_size),
+        "after_norm": init_norm(cfg.output_size, cfg.layer_norm_type),
+    }
+    if cmvn is not None:
+        mean, istd = cmvn
+        p["cmvn"] = {"mean": jnp.asarray(mean, jnp.float32),
+                     "istd": jnp.asarray(istd, jnp.float32)}
+    layer_keys = jax.random.split(k_layers, cfg.num_blocks)
+    layers = [
+        init_encoder_layer(
+            k, cfg.output_size, cfg.attention_heads, cfg.linear_units,
+            cfg.cnn_module_kernel, cfg.cnn_module_norm, cfg.macaron_style, cfg.use_cnn_module)
+        for k in layer_keys
+    ]
+    p["layers"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+    return p
+
+
+def limited_context_selection(cfg: EncoderConfig, rng: random.Random = random) -> Tuple[int, int, int]:
+    """Sample (chunk, L, R) for dynamic-chunk training (encoder.py:198-218)."""
+    if not (cfg.dynamic_chunk_sizes and cfg.dynamic_left_context_sizes
+            and cfg.dynamic_right_context_sizes):
+        return 0, 0, 0
+    c = rng.choice(cfg.dynamic_chunk_sizes)
+    left = rng.choice(cfg.dynamic_left_context_sizes)
+    if cfg.streaming:
+        right = rng.choice([r for r in cfg.dynamic_right_context_sizes if r < c])
+    else:
+        right = rng.choice(cfg.dynamic_right_context_sizes)
+    if c <= 0:
+        return 0, 0, 0
+    return c, left, right
+
+
+def _apply_cmvn(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "cmvn" not in p:
+        return x
+    return (x - p["cmvn"]["mean"].astype(x.dtype)) * p["cmvn"]["istd"].astype(x.dtype)
+
+
+def _embed(p: Params, cfg: EncoderConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """cmvn -> subsampling conv stack -> xscale."""
+    x = _apply_cmvn(p, x)
+    x = subsampling_forward(p["embed"], x)
+    return x * math.sqrt(cfg.output_size)
+
+
+def _use_layer_norm(cfg: EncoderConfig) -> bool:
+    return cfg.cnn_module_norm == "layer_norm"
+
+
+def encoder_forward(
+    p: Params,
+    cfg: EncoderConfig,
+    xs: jnp.ndarray,
+    xs_lens: jnp.ndarray,
+    chunk_size: int = 0,
+    left_context_size: int = 0,
+    right_context_size: int = 0,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Batch forward. xs: [B, T, feat], xs_lens: [B].
+
+    Returns (out [B, T', D], pad_mask [B, T'] True=valid).
+    """
+    activation = ACTIVATIONS[cfg.activation_type]
+    c, L, R = chunk_size, left_context_size, right_context_size
+    rngs = jax.random.split(rng, 3) if rng is not None else [None] * 3
+
+    x = _embed(p, cfg, xs)
+    t2 = x.shape[1]
+    out_lens = calc_length_jax(xs_lens)
+    pad_mask = make_non_pad_mask(out_lens, t2)
+    pos_c = c if c > 0 else t2
+    pos_emb = jnp.asarray(rel_pos_slice(cfg.output_size, pos_c, L, R, cfg.max_pos_len))
+    x = dropout(rngs[0], x, cfg.positional_dropout_rate, train)
+    pos_emb = dropout(rngs[1], pos_emb, cfg.positional_dropout_rate, train)
+
+    def layer_fn(x, scanned):
+        layer_p, layer_rng = scanned
+
+        def attn_fn(h):
+            if c > 0:
+                out = attention_chunked_train(
+                    layer_p["self_attn"], h, pos_emb, pad_mask, c, L, R,
+                    cfg.attention_heads, layer_rng, cfg.attention_dropout_rate, train)
+            else:
+                out = attention_full(
+                    layer_p["self_attn"], h, pos_emb, pad_mask[:, None, :],
+                    cfg.attention_heads, layer_rng, cfg.attention_dropout_rate, train)
+            return out, 0.0
+
+        conv_fn = None
+        if cfg.use_cnn_module:
+            def conv_fn(h):
+                y, _stats = conv_full(
+                    layer_p["conv"], h, pad_mask, cfg.cnn_module_kernel,
+                    _use_layer_norm(cfg),
+                    chunk_size=(c if cfg.dynamic_conv and c > 0 else 0),
+                    causal=cfg.causal, train=train)
+                return y, 0.0
+
+        x, _, _ = encoder_layer_apply(
+            layer_p, x, attn_fn, conv_fn, activation=activation,
+            dropout_rate=cfg.dropout_rate, train=train, rng=layer_rng,
+            normalize_before=cfg.normalize_before, norm_eps=cfg.norm_eps)
+        return x, None
+
+    if train and cfg.gradient_checkpointing:
+        layer_fn = jax.checkpoint(layer_fn)
+    layer_rngs = (jax.random.split(rngs[2], cfg.num_blocks) if rngs[2] is not None
+                  else jnp.zeros((cfg.num_blocks, 2), jnp.uint32))
+    x, _ = jax.lax.scan(layer_fn, x, (p["layers"], layer_rngs))
+
+    if cfg.normalize_before and cfg.final_norm:
+        x = norm_apply(p["after_norm"], x, cfg.layer_norm_type, cfg.norm_eps)
+    return x, pad_mask
+
+
+def init_caches(cfg: EncoderConfig, left_context_size: int, batch: Optional[int] = None,
+                dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero caches. Parallel-chunk layout: att [n, L, H, 2dk], cnn [n, D, lorder].
+
+    With ``batch`` set (streaming): att [n, B, L, H, 2dk], cnn [n, B, D, lorder].
+    """
+    h, dk = cfg.attention_heads, cfg.head_dim
+    if batch is None:
+        att = jnp.zeros((cfg.num_blocks, left_context_size, h, dk * 2), dtype)
+        cnn = jnp.zeros((cfg.num_blocks, cfg.output_size, cfg.conv_lorder), dtype)
+    else:
+        att = jnp.zeros((cfg.num_blocks, batch, left_context_size, h, dk * 2), dtype)
+        cnn = jnp.zeros((cfg.num_blocks, batch, cfg.output_size, cfg.conv_lorder), dtype)
+    return att, cnn
+
+
+def encoder_parallel_chunk(
+    p: Params,
+    cfg: EncoderConfig,
+    xs: jnp.ndarray,          # [N, size, feat] packed chunk rows
+    chunk_idx: jnp.ndarray,   # [N]
+    offsets: jnp.ndarray,     # [N]
+    max_lens: jnp.ndarray,    # [N]
+    chunk_size: int,
+    left_context_size: int,
+    right_context_size: int,
+    att_cache: jnp.ndarray,   # [n_layers, L, H, 2dk]
+    cnn_cache: jnp.ndarray,   # [n_layers, D, lorder]
+    truncated_context_size: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Masked-batch inference over packed chunk rows (encoder.py:503-681).
+
+    Returns (out [N, c, D], new_att_cache, new_cnn_cache).
+    """
+    c, L, R = chunk_size, left_context_size, right_context_size
+    x = _embed(p, cfg, xs)  # [N, c, D]
+    pos_emb = jnp.asarray(rel_pos_slice(cfg.output_size, c, L, R, cfg.max_pos_len))
+    att_mask = parallel_chunk_att_mask(chunk_idx, offsets, max_lens, c, L, R)
+    conv_mask_row = parallel_chunk_conv_mask(chunk_idx, offsets, max_lens, c,
+                                             cfg.conv_lorder, R)
+    conv_mask = conv_mask_row[:, 0:1, :]  # [N, 1, c+2*lorder] broadcast over channels
+    activation = ACTIVATIONS[cfg.activation_type]
+
+    def layer_fn(x, scanned):
+        layer_p, a_cache, c_cache = scanned
+
+        def attn_fn(h):
+            return attention_parallel_chunk(
+                layer_p["self_attn"], h, pos_emb, att_mask, a_cache, L, R,
+                truncated_context_size, cfg.attention_heads)
+
+        conv_fn = None
+        if cfg.use_cnn_module:
+            def conv_fn(h):
+                return conv_parallel_chunk(
+                    layer_p["conv"], h, conv_mask, c_cache, cfg.cnn_module_kernel,
+                    _use_layer_norm(cfg), truncated_context_size)
+
+        x, new_a, new_c = encoder_layer_apply(
+            layer_p, x, attn_fn, conv_fn, activation=activation,
+            normalize_before=cfg.normalize_before, norm_eps=cfg.norm_eps)
+        if new_c is None:
+            new_c = c_cache
+        return x, (new_a, new_c)
+
+    x, (new_att, new_cnn) = jax.lax.scan(layer_fn, x, (p["layers"], att_cache, cnn_cache))
+
+    if cfg.normalize_before and cfg.final_norm:
+        x = norm_apply(p["after_norm"], x, cfg.layer_norm_type, cfg.norm_eps)
+    return x, new_att, new_cnn
+
+
+def encoder_streaming_step(
+    p: Params,
+    cfg: EncoderConfig,
+    x: jnp.ndarray,           # [B, T_in, feat] raw frames for c + R subsampled outputs
+    att_cache: jnp.ndarray,   # [n_layers, B, L, H, 2dk]
+    cnn_cache: jnp.ndarray,   # [n_layers, B, D, lorder]
+    chunk_size: int,
+    left_context_size: int,
+    right_context_size: int,
+    offset: jnp.ndarray,      # [] int32 — subsampled frames decoded so far
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One incremental streaming step (encoder.py:310-385).
+
+    Returns (out [B, c+R, D], new_att_cache, new_cnn_cache). The first
+    ``chunk_size`` output frames are final; the trailing R are lookahead.
+    """
+    c, L, R = chunk_size, left_context_size, right_context_size
+    b = x.shape[0]
+    h = _embed(p, cfg, x)     # [B, c+R, D]
+    t1 = h.shape[1]
+    pos_emb = jnp.asarray(rel_pos_slice(cfg.output_size, c + R, L, 0, cfg.max_pos_len))
+    # reference encoder.py:351-357: position p of [L + c + R] valid iff
+    # p >= L - offset (cache slots beyond decoded history are invalid)
+    pos = jnp.arange(L + t1)
+    att_mask = (pos[None, :] >= (L - offset))[:, None, :].repeat(b, axis=0)
+    activation = ACTIVATIONS[cfg.activation_type]
+    lorder = cfg.conv_lorder
+
+    def layer_fn(h, scanned):
+        layer_p, a_cache, c_cache = scanned
+
+        def attn_fn(hh):
+            return attention_streaming(layer_p["self_attn"], hh, pos_emb, att_mask,
+                                       a_cache, cfg.attention_heads)
+
+        conv_fn = None
+        if cfg.use_cnn_module:
+            def conv_fn(hh):
+                return conv_streaming(layer_p["conv"], hh, c_cache, c,
+                                      cfg.cnn_module_kernel, _use_layer_norm(cfg))
+
+        h, kv_full, cnn_stream = encoder_layer_apply(
+            layer_p, h, attn_fn, conv_fn, activation=activation,
+            normalize_before=cfg.normalize_before, norm_eps=cfg.norm_eps)
+        # cache slicing (encoder.py:374-383): keep L rows ending R before the end
+        kv_len = kv_full.shape[1]
+        new_a = jax.lax.slice_in_dim(kv_full, kv_len - L - R, kv_len - R, axis=1)
+        if cnn_stream is None:
+            new_c = c_cache
+        else:
+            cs_len = cnn_stream.shape[2]
+            new_c = jax.lax.slice_in_dim(cnn_stream, cs_len - lorder - R, cs_len - R, axis=2)
+        return h, (new_a, new_c)
+
+    h, (new_att, new_cnn) = jax.lax.scan(layer_fn, h, (p["layers"], att_cache, cnn_cache))
+
+    if cfg.normalize_before and cfg.final_norm:
+        h = norm_apply(p["after_norm"], h, cfg.layer_norm_type, cfg.norm_eps)
+    return h, new_att, new_cnn

@@ -1,0 +1,157 @@
+"""CTC: loss, greedy decode, and Viterbi forced alignment in pure JAX.
+
+The reference leans on native kernels — `torch.nn.CTCLoss`
+(reference: chunkformer/modules/ctc.py:51-67) and
+`torchaudio.functional.forced_align` (reference: utils/model_utils.py:103-118).
+Here both are log-semiring scans over time: alpha recurrence over the
+blank-extended label sequence, fully vectorized over batch and label states so
+the per-step work is VPU elementwise ops; the scan's sequential axis is time,
+which XLA pipelines efficiently.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _extend_labels(targets: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """[B, U] -> [B, 2U+1] blank-interleaved: b, y1, b, y2, ..., b."""
+    b, u = targets.shape
+    ext = jnp.full((b, 2 * u + 1), blank, dtype=targets.dtype)
+    return ext.at[:, 1::2].set(targets)
+
+
+@functools.partial(jax.jit, static_argnames=("blank",))
+def ctc_loss(
+    log_probs: jnp.ndarray,   # [B, T, V] log-softmax outputs
+    input_lengths: jnp.ndarray,   # [B]
+    targets: jnp.ndarray,     # [B, U] padded with any value past target_lengths
+    target_lengths: jnp.ndarray,  # [B]
+    blank: int = 0,
+) -> jnp.ndarray:
+    """Per-utterance CTC negative log-likelihood, shape [B].
+
+    Matches torch.nn.CTCLoss(reduction='none', zero_infinity=True) semantics.
+    """
+    b, t, v = log_probs.shape
+    u = targets.shape[1]
+    s = 2 * u + 1
+    ext = _extend_labels(targets, blank)                      # [B, S]
+    ext_lens = 2 * target_lengths + 1
+
+    # emission log-probs per state: [B, T, S]
+    emit = jnp.take_along_axis(
+        log_probs, ext[:, None, :].astype(jnp.int32).repeat(t, axis=1), axis=2)
+
+    # allowed skip (s-2 -> s): only into non-blank states whose label differs
+    # from the label two back.
+    idx = jnp.arange(s)
+    prev2 = jnp.roll(ext, 2, axis=1)
+    can_skip = (idx[None, :] % 2 == 1) & (idx[None, :] >= 2) & (ext != prev2)
+
+    alpha0 = jnp.full((b, s), NEG_INF)
+    alpha0 = alpha0.at[:, 0].set(emit[:, 0, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(target_lengths > 0, emit[:, 0, 1], NEG_INF))
+
+    def step(alpha, t_idx):
+        stay = alpha
+        diag = jnp.concatenate([jnp.full((b, 1), NEG_INF), alpha[:, :-1]], axis=1)
+        skip = jnp.concatenate([jnp.full((b, 2), NEG_INF), alpha[:, :-2]], axis=1)
+        skip = jnp.where(can_skip, skip, NEG_INF)
+        m = jnp.maximum(jnp.maximum(stay, diag), skip)
+        merged = m + jnp.log(
+            jnp.exp(stay - m) + jnp.exp(diag - m) + jnp.exp(skip - m))
+        merged = jnp.where(m <= NEG_INF / 2, NEG_INF, merged)
+        new_alpha = merged + emit[:, t_idx]
+        # frames past input_lengths keep alpha frozen
+        new_alpha = jnp.where(t_idx < input_lengths[:, None], new_alpha, alpha)
+        return new_alpha, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t))
+
+    last = ext_lens - 1
+    a_last = jnp.take_along_axis(alpha, last[:, None], axis=1)[:, 0]
+    a_prev = jnp.take_along_axis(alpha, jnp.maximum(last - 1, 0)[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(target_lengths > 0, a_prev, NEG_INF)
+    m = jnp.maximum(a_last, a_prev)
+    ll = m + jnp.log(jnp.exp(a_last - m) + jnp.exp(a_prev - m))
+    loss = -ll
+    # zero_infinity=True
+    return jnp.where(loss >= -NEG_INF / 2, 0.0, loss)
+
+
+def ctc_greedy(log_probs: jnp.ndarray) -> jnp.ndarray:
+    """Frame-level argmax tokens [B, T]."""
+    return jnp.argmax(log_probs, axis=-1)
+
+
+def remove_duplicates_and_blank(tokens, blank: int = 0):
+    """Host-side CTC collapse (reference: utils/model_utils.py:23-45)."""
+    out = []
+    prev = None
+    for tok in tokens:
+        tok = int(tok)
+        if tok != blank and tok != prev:
+            out.append(tok)
+        prev = tok
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("blank",))
+def ctc_forced_align(
+    log_probs: jnp.ndarray,   # [T, V]
+    targets: jnp.ndarray,     # [U]
+    input_length: jnp.ndarray,
+    target_length: jnp.ndarray,
+    blank: int = 0,
+) -> jnp.ndarray:
+    """Viterbi CTC alignment: per-frame state labels [T] (token ids incl. blank).
+
+    JAX replacement for torchaudio.functional.forced_align.
+    """
+    t, v = log_probs.shape
+    u = targets.shape[0]
+    s = 2 * u + 1
+    ext = _extend_labels(targets[None], blank)[0]
+    emit = log_probs[:, ext]                                  # [T, S]
+    idx = jnp.arange(s)
+    prev2 = jnp.roll(ext, 2)
+    can_skip = (idx % 2 == 1) & (idx >= 2) & (ext != prev2)
+
+    alpha0 = jnp.full((s,), NEG_INF).at[0].set(emit[0, 0]).at[1].set(emit[0, 1])
+
+    def step(alpha, t_idx):
+        stay = alpha
+        diag = jnp.concatenate([jnp.array([NEG_INF]), alpha[:-1]])
+        skip = jnp.where(can_skip,
+                         jnp.concatenate([jnp.full(2, NEG_INF), alpha[:-2]]), NEG_INF)
+        best = jnp.maximum(jnp.maximum(stay, diag), skip)
+        back = jnp.where(best == stay, 0, jnp.where(best == diag, 1, 2))
+        new_alpha = best + emit[t_idx]
+        new_alpha = jnp.where(t_idx < input_length, new_alpha, alpha)
+        back = jnp.where(t_idx < input_length, back, 0)
+        return new_alpha, back
+
+    alpha, backs = jax.lax.scan(step, alpha0, jnp.arange(1, t))  # backs: [T-1, S]
+
+    last = 2 * target_length  # index of final blank
+    state_last = jnp.where(alpha[last] >= alpha[jnp.maximum(last - 1, 0)], last,
+                           jnp.maximum(last - 1, 0))
+
+    def backstep(state, back_t):
+        move = back_t[state]
+        return state - move, state
+
+    state0, states = jax.lax.scan(backstep, state_last, backs[::-1])
+    # states = [s@T-1, ..., s@1]; carry ends at s@0
+    states = jnp.concatenate([state0[None], states[::-1]])
+    # clamp frames beyond input_length to final state's label
+    frame_idx = jnp.arange(t)
+    states = jnp.where(frame_idx < input_length, states, state_last)
+    return ext[states]

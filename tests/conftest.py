@@ -1,0 +1,29 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference (ishine/chunkformer) has no multi-device tests at all; here every
+sharding/pjit path is unit-testable on CPU with 8 simulated devices
+(`--xla_force_host_platform_device_count=8`).
+
+Note: the environment may pre-import jax with a TPU plugin platform
+(JAX_PLATFORMS=axon), so env vars alone are too late — use jax.config to force
+the CPU backend. XLA_FLAGS is read at backend init, which hasn't happened yet
+at conftest time.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
