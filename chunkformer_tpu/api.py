@@ -1,0 +1,301 @@
+"""Public API: ChunkFormerModel with endless/batch decoding.
+
+TPU-native counterpart of the reference HF wrapper
+(reference: chunkformer/chunkformer_model.py:58-816): loads exported model
+directories (config.yaml + pytorch_model.bin + vocab.txt [+ cmvn]), and
+provides the three decode entry points:
+
+- ``endless_decode`` — long-form single audio, streamed through the encoder in
+  fixed-size macro-segments with carried attention/conv caches and exact
+  relative right-context lookahead (chunkformer_model.py:320-459).
+- ``batch_decode``   — masked-batch decoding of many files under a total-frame
+  budget (chunkformer_model.py:461-552).
+- ``encode``         — plain full/limited-context batch forward.
+
+TPU design: every macro-segment is padded to an identical chunk-row capacity so
+XLA compiles exactly one program per (chunk, L, R) configuration; validity is
+carried by masks. Decoding runs in bf16 by default with f32 softmax/logits.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ChunkFormerConfig
+from .convert import convert_checkpoint, load_torch_state_dict
+from .data.audio import load_audio
+from .decode.outputs import get_output, get_output_with_timestamps
+from .models.asr import ctc_argmax, ctc_log_probs
+from .nn.encoder import encoder_forward, encoder_parallel_chunk, init_caches
+from .ops import chunk as chunk_ops
+from .ops.fbank import fbank
+
+
+def read_symbol_table(path: str) -> Dict[str, int]:
+    """vocab.txt: `symbol id` per line (reference: utils/file_utils.py:62)."""
+    table = {}
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            parts = line.strip().split()
+            if len(parts) == 2:
+                table[parts[0]] = int(parts[1])
+            elif len(parts) == 1:
+                table[parts[0]] = len(table)
+    return table
+
+
+def load_cmvn_file(path: str, is_json: bool = True):
+    """Global CMVN stats file -> (mean, istd) (reference: utils/cmvn.py)."""
+    import json
+
+    with open(path) as f:
+        if is_json:
+            stats = json.load(f)
+        else:
+            raise NotImplementedError("kaldi-format cmvn: use json export")
+    mean_stat = np.asarray(stats["mean_stat"], dtype=np.float64)
+    var_stat = np.asarray(stats["var_stat"], dtype=np.float64)
+    count = stats["frame_num"]
+    mean = mean_stat / count
+    var = var_stat / count - mean * mean
+    var = np.maximum(var, 1e-20)
+    istd = 1.0 / np.sqrt(var)
+    return mean.astype(np.float32), istd.astype(np.float32)
+
+
+class ChunkFormerModel:
+    """Inference-facing model wrapper."""
+
+    def __init__(self, config: ChunkFormerConfig, params, char_dict: Optional[Dict[int, str]] = None,
+                 dtype=jnp.float32):
+        self.config = config
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.char_dict = char_dict
+        self.dtype = dtype
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------ loading
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.float32) -> "ChunkFormerModel":
+        cfg_path = os.path.join(model_dir, "config.yaml")
+        config = ChunkFormerConfig.from_yaml(cfg_path)
+
+        ckpt = None
+        for name in ("pytorch_model.bin", "pytorch_model.pt", "model.pt"):
+            p = os.path.join(model_dir, name)
+            if os.path.exists(p):
+                ckpt = p
+                break
+        if ckpt is None:
+            raise FileNotFoundError(f"no checkpoint found in {model_dir}")
+        sd = load_torch_state_dict(ckpt)
+        if config.vocab_size == 0 and "ctc.ctc_lo.weight" in sd:
+            config.vocab_size = sd["ctc.ctc_lo.weight"].shape[0]
+        params = convert_checkpoint(sd, config)
+
+        if "cmvn" not in params["encoder"]:
+            for name in ("global_cmvn", "global_cmvn.json"):
+                p = os.path.join(model_dir, name)
+                if os.path.exists(p):
+                    mean, istd = load_cmvn_file(p)
+                    params["encoder"]["cmvn"] = {"mean": mean, "istd": istd}
+                    break
+
+        char_dict = None
+        vocab_path = os.path.join(model_dir, "vocab.txt")
+        if os.path.exists(vocab_path):
+            table = read_symbol_table(vocab_path)
+            char_dict = {v: k for k, v in table.items()}
+        return cls(config, params, char_dict, dtype)
+
+    # ------------------------------------------------------------------ features
+
+    def extract_features(self, audio_path: str) -> np.ndarray:
+        fbank_conf = self.config.dataset_conf.get("fbank_conf", {})
+        wav, sr = load_audio(audio_path, self.config.dataset_conf.get(
+            "resample_conf", {}).get("resample_rate", 16000))
+        feats = fbank(
+            jnp.asarray(wav),
+            num_mel_bins=fbank_conf.get("num_mel_bins", 80),
+            frame_length=float(fbank_conf.get("frame_length", 25)),
+            frame_shift=float(fbank_conf.get("frame_shift", 10)),
+            sample_rate=sr,
+            dither=0.0,
+        )
+        return np.asarray(feats)
+
+    # ------------------------------------------------------------------ encoder steps
+
+    def _parallel_chunk_fn(self, chunk_size: int, left: int, right: int,
+                           capacity: int, trunc: int):
+        """Build (and cache) the jitted masked-batch encoder+CTC step."""
+        key = ("pc", chunk_size, left, right, capacity, trunc)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.config.encoder_conf
+
+        @partial(jax.jit, donate_argnums=(5, 6))
+        def step(params, xs, chunk_idx, offsets, max_lens, att_cache, cnn_cache):
+            out, new_att, new_cnn = encoder_parallel_chunk(
+                params["encoder"], cfg, xs.astype(self.dtype), chunk_idx, offsets,
+                max_lens, chunk_size, left, right, att_cache, cnn_cache, trunc)
+            tokens = ctc_argmax(params["ctc"], out) if "ctc" in params else None
+            return out, tokens, new_att, new_cnn
+
+        self._jit_cache[key] = step
+        return step
+
+    # ------------------------------------------------------------------ decoding
+
+    def endless_decode(
+        self,
+        audio_path: str,
+        chunk_size: int = 64,
+        left_context_size: int = 128,
+        right_context_size: int = 128,
+        total_batch_duration: int = 1800,
+        return_timestamps: bool = True,
+        max_silence_duration: float = 0.5,
+    ):
+        """Long-form decode with bounded memory (chunkformer_model.py:320-459)."""
+        feats = self.extract_features(audio_path)
+        tokens = self.endless_encode_tokens(
+            feats, chunk_size, left_context_size, right_context_size, total_batch_duration)
+        if self.char_dict is None:
+            return tokens
+        result = get_output_with_timestamps(tokens, self.char_dict, max_silence_duration)
+        if not return_timestamps:
+            return " ".join(seg["decode"] for seg in result).strip()
+        return result
+
+    def endless_encode_tokens(
+        self, feats: np.ndarray, chunk_size: int, left: int, right: int,
+        total_batch_duration: int,
+    ) -> np.ndarray:
+        """Stream features through the encoder; return frame-level CTC tokens."""
+        cfg = self.config.encoder_conf
+        sub = cfg.subsampling_rate
+        conv_lorder = cfg.conv_lorder
+        c = chunk_size
+
+        # sizing (chunkformer_model.py:344-371)
+        max_frames = int(total_batch_duration // 0.01) // 2
+        multiply_n = max(max_frames // c // sub, 1)
+        trunc = c * multiply_n
+        r_prime = max(right, conv_lorder)
+        rel_right = (r_prime + max(c, r_prime) * (cfg.num_blocks - 1)) * sub
+
+        t_total = feats.shape[0]
+        step_raw = trunc * sub
+        # fixed per-segment raw length -> one compiled program
+        seg_raw = step_raw + 7 + rel_right
+        size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
+        capacity = (max(seg_raw, size) - size) // (sub * c) + 1
+
+        att_cache, cnn_cache = init_caches(cfg, left, dtype=self.dtype)
+        step_fn = self._parallel_chunk_fn(c, left, right, capacity, trunc)
+
+        token_parts: List[np.ndarray] = []
+        offset = 0
+        idx = 0
+        for start in range(0, t_total, step_raw):
+            end = min(start + step_raw + 7, t_total)
+            x = feats[start:min(end + rel_right, t_total)]
+            x_len = x.shape[0]
+            packed = chunk_ops.pack_chunks([x], [x_len], c, sub, offsets=[offset],
+                                           capacity=capacity)
+            out, tokens, att_cache, cnn_cache = step_fn(
+                self.params, jnp.asarray(packed.xs), jnp.asarray(packed.chunk_idx),
+                jnp.asarray(packed.offsets), jnp.asarray(packed.max_lens),
+                att_cache, cnn_cache)
+            enc_len = int(packed.out_lens[0])
+            toks = np.asarray(tokens).reshape(-1)[:enc_len]
+            if c * multiply_n * sub * idx + rel_right < t_total:
+                toks = toks[:trunc]
+            offset += len(toks)
+            token_parts.append(toks)
+            if c * multiply_n * sub * idx + rel_right >= t_total:
+                break
+            idx += 1
+        return np.concatenate(token_parts) if token_parts else np.zeros(0, np.int32)
+
+    def batch_decode(
+        self,
+        audio_paths: Sequence[str],
+        chunk_size: int = 64,
+        left_context_size: int = 128,
+        right_context_size: int = 128,
+        total_batch_duration: int = 1800,
+    ) -> List[str]:
+        """Masked-batch decode under a frame budget (chunkformer_model.py:461-552)."""
+        max_budget = int(total_batch_duration // 0.01) // 2
+        decodes: List[str] = []
+        batch_feats: List[np.ndarray] = []
+        budget = max_budget
+        for i, path in enumerate(audio_paths):
+            feats = self.extract_features(path)
+            batch_feats.append(feats)
+            budget -= feats.shape[0]
+            if budget <= 0 or i == len(audio_paths) - 1:
+                decodes.extend(self._decode_feature_batch(
+                    batch_feats, chunk_size, left_context_size, right_context_size))
+                batch_feats = []
+                budget = max_budget
+        return decodes
+
+    def _decode_feature_batch(self, batch_feats: List[np.ndarray], c: int, left: int,
+                              right: int) -> List[str]:
+        cfg = self.config.encoder_conf
+        packed = chunk_ops.pack_chunks(
+            batch_feats, [f.shape[0] for f in batch_feats], c, cfg.subsampling_rate,
+            capacity=_round_up(sum(
+                _n_chunks(f.shape[0], c, cfg.subsampling_rate) for f in batch_feats), 64))
+        att_cache, cnn_cache = init_caches(cfg, left, dtype=self.dtype)
+        step_fn = self._parallel_chunk_fn(c, left, right, packed.xs.shape[0], 0)
+        _, tokens, _, _ = step_fn(
+            self.params, jnp.asarray(packed.xs), jnp.asarray(packed.chunk_idx),
+            jnp.asarray(packed.offsets), jnp.asarray(packed.max_lens),
+            att_cache, cnn_cache)
+        tokens = np.asarray(tokens)  # [N, c]
+        hyps = []
+        row = 0
+        for n, enc_len in zip(packed.n_chunks, packed.out_lens):
+            hyps.append(tokens[row:row + n].reshape(-1)[:enc_len])
+            row += n
+        if self.char_dict is None:
+            return hyps
+        return get_output(hyps, self.char_dict)
+
+    def encode(self, xs: np.ndarray, xs_lens: np.ndarray, chunk_size: int = 0,
+               left_context_size: int = 0, right_context_size: int = 0):
+        """Full/limited-context batch forward (chunkformer_model.py:256-274)."""
+        cfg = self.config.encoder_conf
+        key = ("enc", xs.shape[1], chunk_size, left_context_size, right_context_size)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(lambda p, x, l: encoder_forward(
+                p["encoder"], cfg, x.astype(self.dtype), l, chunk_size,
+                left_context_size, right_context_size))
+        out, mask = self._jit_cache[key](self.params, jnp.asarray(xs), jnp.asarray(xs_lens))
+        return out, mask.sum(-1)
+
+    def ctc_logprobs(self, encoder_out) -> jnp.ndarray:
+        return ctc_log_probs(self.params["ctc"], encoder_out)
+
+
+def _n_chunks(t: int, c: int, sub: int = 8) -> int:
+    size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
+    if t >= size:
+        return -(-(t - size) // (sub * c)) + 1
+    return 1
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
