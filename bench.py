@@ -1,0 +1,71 @@
+"""Benchmark: masked-batch encoder + CTC decode throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "audio_seconds_per_second", "value": N, "unit": "audio-s/s",
+   "vs_baseline": N}
+
+The workload mirrors the reference's headline path
+(reference: chunkformer/chunkformer_model.py:320-459 endless_decode): a
+long-form audio stream is packed into chunk rows (chunk=64, L=R=128) and
+streamed through the ChunkFormer-large encoder (512d/8h/17 blocks) in
+macro-segments with carried caches, then CTC-argmaxed. Audio-seconds processed
+per wall-second, bf16 on-device.
+
+vs_baseline divides by 1000 audio-s/s — a nominal reference-GPU figure for
+conformer-large chunked inference (the reference publishes capacity numbers,
+not throughput; see BASELINE.md).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SECONDS_PER_S = 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from chunkformer_tpu.config import ChunkFormerConfig
+    from chunkformer_tpu.models.asr import init_asr_model
+    from chunkformer_tpu.api import ChunkFormerModel
+
+    cfg = ChunkFormerConfig.from_dict({
+        "model": "asr_model",
+        "encoder_conf": {
+            "output_size": 512, "attention_heads": 8, "linear_units": 2048,
+            "num_blocks": 17, "cnn_module_kernel": 15,
+            "cnn_module_norm": "layer_norm", "dynamic_conv": True,
+        },
+        "output_dim": 6992,
+    })
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    model = ChunkFormerModel(cfg, params, char_dict=None, dtype=jnp.bfloat16)
+
+    # synthetic 30-minute stream of fbank features (10 ms frames)
+    audio_seconds = 1800.0
+    n_frames = int(audio_seconds * 100)
+    feats = np.random.default_rng(0).normal(size=(n_frames, 80)).astype(np.float32)
+
+    # warmup (compiles the segment program)
+    model.endless_encode_tokens(feats[: n_frames // 6], 64, 128, 128,
+                                total_batch_duration=600)
+
+    t0 = time.perf_counter()
+    tokens = model.endless_encode_tokens(feats, 64, 128, 128, total_batch_duration=600)
+    elapsed = time.perf_counter() - t0
+    assert tokens.shape[0] > 0
+
+    value = audio_seconds / elapsed
+    print(json.dumps({
+        "metric": "audio_seconds_per_second",
+        "value": round(value, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

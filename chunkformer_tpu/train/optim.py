@@ -3,7 +3,8 @@
 Reference scheduler family (reference: chunkformer/utils/scheduler.py): the
 configs in use are `warmuplr` (scheduler.py:26-75) and `NoamHoldAnnealing`
 (scheduler.py:623-709); the rest of the family is provided for config parity.
-All are pure step -> lr functions, so resume is just restoring the step count
+All schedules are traceable step -> lr functions (jnp ops only — they run
+inside the jitted train step), so resume is just restoring the step count
 (the reference's `set_step`, scheduler.py:74).
 """
 
@@ -12,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional
 
+import jax.numpy as jnp
 import optax
 
 
@@ -19,8 +21,8 @@ def warmup_lr(lr: float, warmup_steps: int = 25000):
     """lr * warmup^0.5 * min(step^-0.5, step * warmup^-1.5) (scheduler.py:26-75)."""
 
     def schedule(step):
-        s = step + 1
-        return lr * warmup_steps ** 0.5 * min(s ** -0.5, s * warmup_steps ** -1.5)
+        s = jnp.asarray(step, jnp.float32) + 1.0
+        return lr * warmup_steps ** 0.5 * jnp.minimum(s ** -0.5, s * warmup_steps ** -1.5)
 
     return schedule
 
@@ -32,9 +34,9 @@ def warmup_policy(lr: float, warmup_steps: int = 0, warmup_ratio: Optional[float
         warmup_steps = int(warmup_ratio * max_steps)
 
     def schedule(step):
-        if warmup_steps > 0 and step <= warmup_steps:
-            return lr * step / max(warmup_steps, 1)
-        return max(lr, min_lr)
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * s / max(warmup_steps, 1)
+        return jnp.where(s <= warmup_steps, warm, jnp.maximum(lr, min_lr))
 
     return schedule
 
@@ -48,9 +50,9 @@ def square_root_constant_policy(lr: float, constant_steps: int = 0,
     const_lr = lr * constant_steps ** -0.5 if constant_steps > 0 else lr
 
     def schedule(step):
-        if step <= constant_steps:
-            return const_lr
-        return max(lr * step ** -0.5, min_lr)
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        return jnp.where(s <= constant_steps, const_lr,
+                         jnp.maximum(lr * s ** -0.5, min_lr))
 
     return schedule
 
@@ -60,22 +62,24 @@ def cosine_annealing(lr: float, warmup_steps: int = 0, max_steps: int = 100000,
     """Warmup + cosine decay (scheduler.py:498-551)."""
 
     def schedule(step):
-        if warmup_steps > 0 and step <= warmup_steps:
-            return lr * step / max(warmup_steps, 1)
-        frac = min(max(step - warmup_steps, 0) / max(max_steps - warmup_steps, 1), 1.0)
-        return min_lr + 0.5 * (lr - min_lr) * (1 + math.cos(math.pi * frac))
+        s = jnp.asarray(step, jnp.float32)
+        warm = lr * s / max(warmup_steps, 1)
+        frac = jnp.clip((s - warmup_steps) / max(max_steps - warmup_steps, 1), 0.0, 1.0)
+        cos = min_lr + 0.5 * (lr - min_lr) * (1 + jnp.cos(math.pi * frac))
+        return jnp.where((warmup_steps > 0) & (s <= warmup_steps), warm, cos)
 
     return schedule
 
 
-def noam_annealing(lr: float, d_model: int, warmup_steps: int = 0, min_lr: float = 0.0):
+def noam_annealing(lr: float, d_model: int = 256, warmup_steps: int = 1000,
+                   min_lr: float = 0.0):
     """Noam schedule (scheduler.py:554-620)."""
     norm = d_model ** -0.5
 
     def schedule(step):
-        s = max(step, 1)
-        out = lr * norm * min(s ** -0.5, s * warmup_steps ** -1.5)
-        return max(out, min_lr) if s > warmup_steps else out
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        out = lr * norm * jnp.minimum(s ** -0.5, s * warmup_steps ** -1.5)
+        return jnp.where(s > warmup_steps, jnp.maximum(out, min_lr), out)
 
     return schedule
 
@@ -89,18 +93,18 @@ def noam_hold_annealing(lr: float, warmup_steps: int = 0, warmup_ratio: Optional
         warmup_steps = int(warmup_ratio * max_steps)
     if hold_ratio is not None:
         hold_steps = int(hold_ratio * max_steps)
+    hold_until = warmup_steps + hold_steps
 
     def schedule(step):
-        s = max(step, 1)
-        if s <= warmup_steps:
-            return lr * s / max(warmup_steps, 1)
-        hold_until = warmup_steps + hold_steps
-        if s <= hold_until:
-            return lr
-        # NeMo-style noam-hold decay
-        decay = ((s - hold_until + warmup_steps) / warmup_steps) ** -decay_rate \
-            if warmup_steps > 0 else (s - hold_until + 1) ** -decay_rate
-        return max(lr * decay, min_lr)
+        s = jnp.maximum(jnp.asarray(step, jnp.float32), 1.0)
+        warm = lr * s / max(warmup_steps, 1)
+        if warmup_steps > 0:
+            decay_arg = jnp.maximum((s - hold_until + warmup_steps) / warmup_steps, 1e-8)
+        else:
+            decay_arg = jnp.maximum(s - hold_until + 1, 1.0)
+        decayed = jnp.maximum(lr * decay_arg ** -decay_rate, min_lr)
+        return jnp.where(s <= warmup_steps, warm,
+                         jnp.where(s <= hold_until, lr, decayed))
 
     return schedule
 
@@ -112,7 +116,6 @@ SCHEDULERS = {
     "cosineannealing": cosine_annealing,
     "noamannealing": noam_annealing,
     "noamholdannealing": noam_hold_annealing,
-    "NoamHoldAnnealing": noam_hold_annealing,
 }
 
 
