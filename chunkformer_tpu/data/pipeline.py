@@ -1,0 +1,243 @@
+"""Declarative streaming data pipeline.
+
+TPU-native counterpart of the reference Dataset/datapipes
+(reference: chunkformer/dataset/dataset.py:26-161, dataset/datapipes.py:33-461):
+a chain of python generators — source (raw list / tar shards) -> parse ->
+decode -> tokenize -> filter -> resample -> augment -> fbank -> spec_aug ->
+shuffle -> sort -> batch (static/bucket/dynamic) -> padded collate.
+
+Differences by design:
+- Per-host sharding is deterministic (`shard` by jax.process_index) and CV data
+  is replicated on every host like the reference's CV path
+  (datapipes.py:286-296); uneven-data join barriers (wenet_join) are
+  unnecessary because `epoch_steps` pads the final batches to a fixed
+  per-epoch step count.
+- Collation pads to shape buckets so the compiled step cache stays small.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import tarfile
+from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
+
+import numpy as np
+
+from . import processor
+
+
+def text_line_source(path: str) -> Iterator[Dict]:
+    """list file: json per line or `key\\twav\\ttxt` (datapipes.py:338-352)."""
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("{"):
+                yield json.loads(line)
+            else:
+                parts = line.split("\t")
+                if len(parts) >= 3:
+                    yield {"key": parts[0], "wav": parts[1], "txt": parts[2]}
+                elif len(parts) == 2:
+                    yield {"key": parts[0], "wav": parts[1]}
+
+
+def tar_shard_source(shard_list: Iterable[str]) -> Iterator[Dict]:
+    """WeNet tar-shard reader (datapipes.py:355-461): entries `key.wav` +
+    `key.txt` grouped by stem."""
+    for shard in shard_list:
+        with tarfile.open(shard, "r|*") as tar:
+            current: Dict[str, Any] = {}
+            for member in tar:
+                if not member.isfile():
+                    continue
+                stem, _, ext = member.name.rpartition(".")
+                data = tar.extractfile(member).read()
+                if current.get("key") not in (None, stem):
+                    if "wav" in current:
+                        yield current
+                    current = {}
+                current["key"] = stem
+                if ext in ("wav", "flac", "mp3"):
+                    current["wav"] = data
+                elif ext == "txt":
+                    current["txt"] = data.decode("utf-8").strip()
+            if "wav" in current:
+                yield current
+
+
+def shard(source: Iterator[Dict], num_shards: int, shard_id: int,
+          full_data: bool = False) -> Iterator[Dict]:
+    """Rank sharding (datapipes.py:272-296); full_data replicates (CV mode)."""
+    if full_data or num_shards <= 1:
+        yield from source
+        return
+    for i, sample in enumerate(source):
+        if i % num_shards == shard_id:
+            yield sample
+
+
+def mapper_ignore_error(source: Iterator[Dict], fn: Callable[[Dict], Dict],
+                        log_error: bool = True) -> Iterator[Dict]:
+    """Per-sample error swallowing (datapipes.py:33-61)."""
+    for sample in source:
+        try:
+            yield fn(sample)
+        except Exception as e:  # noqa: BLE001
+            if log_error:
+                import logging
+
+                logging.warning("data error for %s: %s", sample.get("key"), e)
+
+
+def shuffle(source: Iterator[Dict], buffer_size: int = 1000,
+            rng: Optional[random.Random] = None) -> Iterator[Dict]:
+    """(datapipes sort/shuffle buffers)"""
+    rng = rng or random.Random(0)
+    buf: List[Dict] = []
+    for sample in source:
+        buf.append(sample)
+        if len(buf) >= buffer_size:
+            rng.shuffle(buf)
+            yield from buf
+            buf = []
+    rng.shuffle(buf)
+    yield from buf
+
+
+def sort_by_length(source: Iterator[Dict], sort_size: int = 500) -> Iterator[Dict]:
+    buf: List[Dict] = []
+    for sample in source:
+        buf.append(sample)
+        if len(buf) >= sort_size:
+            buf.sort(key=lambda s: s["feat"].shape[0])
+            yield from buf
+            buf = []
+    buf.sort(key=lambda s: s["feat"].shape[0])
+    yield from buf
+
+
+def static_batch(source: Iterator[Dict], batch_size: int,
+                 drop_last: bool = False) -> Iterator[List[Dict]]:
+    buf: List[Dict] = []
+    for sample in source:
+        buf.append(sample)
+        if len(buf) >= batch_size:
+            yield buf
+            buf = []
+    if buf and not drop_last:
+        yield buf
+
+
+def dynamic_batch(source: Iterator[Dict],
+                  max_frames_in_batch: int = 12000) -> Iterator[List[Dict]]:
+    """Token-budget batching (processor.py:578-594 + datapipes.py:179-205)."""
+    window = processor.DynamicBatchWindow(max_frames_in_batch)
+    buf: List[Dict] = []
+    for sample in source:
+        if buf and window(sample, len(buf)):
+            yield buf
+            buf = []
+        buf.append(sample)
+    if buf:
+        yield buf
+
+
+class Dataset:
+    """Config-driven pipeline (reference dataset.py:26-161)."""
+
+    def __init__(self, data_type: str, data_list: str, tokenizer=None,
+                 conf: Optional[Dict] = None, partition: bool = True,
+                 num_shards: int = 1, shard_id: int = 0, seed: int = 0,
+                 is_classification: bool = False):
+        self.data_type = data_type
+        self.data_list = data_list
+        self.tokenizer = tokenizer
+        self.conf = conf or {}
+        self.partition = partition
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.seed = seed
+        self.epoch = 0
+        self.is_classification = is_classification
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        conf = self.conf
+        rng = np.random.default_rng(self.seed + self.epoch)
+        pyrng = random.Random(self.seed + self.epoch)
+
+        if self.data_type == "shard":
+            shards = [s["wav"] if isinstance(s, dict) else s
+                      for s in text_line_source(self.data_list)]
+            if self.partition:
+                shards = shards[self.shard_id::self.num_shards] or shards[:1]
+            src: Iterator[Dict] = tar_shard_source(shards)
+        else:
+            src = shard(text_line_source(self.data_list), self.num_shards,
+                        self.shard_id, full_data=not self.partition)
+
+        sr = conf.get("resample_conf", {}).get("resample_rate", 16000)
+        src = mapper_ignore_error(src, lambda s: processor.decode_wav(s, sr))
+        if self.tokenizer is not None:
+            src = mapper_ignore_error(src, lambda s: processor.tokenize(s, self.tokenizer))
+        if self.is_classification:
+            src = mapper_ignore_error(src, _extract_class_labels)
+        if conf.get("speed_perturb", False):
+            src = mapper_ignore_error(src, lambda s: processor.do_speed_perturb(s, rng=rng))
+
+        fb = conf.get("fbank_conf", {})
+        src = mapper_ignore_error(src, lambda s: processor.compute_fbank(
+            s, fb.get("num_mel_bins", 80), fb.get("frame_length", 25),
+            fb.get("frame_shift", 10), fb.get("dither", 0.0), rng=rng))
+
+        fc = conf.get("filter_conf", {})
+        src = (s for s in src if processor.filter_sample(
+            s, fc.get("max_length", 40960), fc.get("min_length", 0),
+            fc.get("token_max_length", 400), fc.get("token_min_length", 1)))
+
+        if conf.get("spec_aug", False):
+            sa = conf.get("spec_aug_conf", {})
+            src = mapper_ignore_error(src, lambda s: processor.spec_aug(
+                s, sa.get("num_t_mask", 2), sa.get("num_f_mask", 2),
+                sa.get("max_t", 50), sa.get("max_f", 10), rng=rng))
+        if conf.get("spec_sub", False):
+            ss = conf.get("spec_sub_conf", {})
+            src = mapper_ignore_error(src, lambda s: processor.spec_sub(
+                s, ss.get("max_t", 20), ss.get("num_t_sub", 3), rng=rng))
+        if conf.get("spec_trim", False):
+            st = conf.get("spec_trim_conf", {})
+            src = mapper_ignore_error(src, lambda s: processor.spec_trim(
+                s, st.get("max_t", 20), rng=rng))
+
+        if conf.get("shuffle", True):
+            src = shuffle(src, conf.get("shuffle_conf", {}).get("shuffle_size", 1000),
+                          pyrng)
+        if conf.get("sort", True):
+            src = sort_by_length(src, conf.get("sort_conf", {}).get("sort_size", 500))
+
+        bc = conf.get("batch_conf", {})
+        btype = bc.get("batch_type", "static")
+        if btype == "dynamic":
+            batches = dynamic_batch(src, bc.get("max_frames_in_batch", 12000))
+        else:
+            batches = static_batch(src, bc.get("batch_size", 16))
+
+        for batch in batches:
+            yield processor.padding(batch, is_classification=self.is_classification)
+
+
+def _extract_class_labels(sample: Dict) -> Dict:
+    """Classification label columns: sample['tasks'] json or per-task keys."""
+    labels = {}
+    if "class_labels" in sample:
+        return sample
+    for k, v in list(sample.items()):
+        if k.startswith("label_"):
+            labels[k[len("label_"):]] = int(v)
+    sample["class_labels"] = labels
+    return sample

@@ -1,0 +1,210 @@
+"""Per-sample processors: decode, fbank, augmentation, batching windows.
+
+Host-side numpy equivalents of the reference processors
+(reference: chunkformer/dataset/processor.py:104-619). The fbank here is a
+vectorized numpy twin of ops/fbank.py (shared window/mel-bank constants) so
+data workers never touch the device; the device-side JAX fbank is used by the
+inference API.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..ops.fbank import _window, mel_banks
+from .audio import load_audio, load_wav_bytes, speed_perturb
+
+_EPS = 1.1920928955078125e-07
+
+
+def compute_fbank_numpy(
+    waveform: np.ndarray, num_mel_bins: int = 80, frame_length: float = 25,
+    frame_shift: float = 10, dither: float = 0.0, sample_rate: int = 16000,
+    window_type: str = "povey", rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Vectorized Kaldi fbank (processor.py:210-239 semantics), host-side."""
+    win = int(sample_rate * frame_length * 0.001)
+    shift = int(sample_rate * frame_shift * 0.001)
+    padded = 1 << (win - 1).bit_length()
+    n = 1 + (len(waveform) - win) // shift if len(waveform) >= win else 0
+    if n == 0:
+        return np.zeros((0, num_mel_bins), np.float32)
+    idx = np.arange(n)[:, None] * shift + np.arange(win)[None, :]
+    frames = waveform[idx].astype(np.float32)
+    if dither > 0 and rng is not None:
+        frames = frames + dither * rng.standard_normal(frames.shape).astype(np.float32)
+    frames -= frames.mean(axis=1, keepdims=True)
+    prev = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames - 0.97 * prev
+    frames *= _window(window_type, win)
+    spec = np.abs(np.fft.rfft(frames, padded, axis=1)) ** 2
+    banks = mel_banks(num_mel_bins, padded, float(sample_rate))
+    return np.log(np.maximum(spec @ banks, _EPS)).astype(np.float32)
+
+
+# ------------------------------------------------------------------- stages
+
+
+def decode_wav(sample: Dict, sample_rate: int = 16000) -> Dict:
+    """{'wav': path|bytes} -> {'waveform', 'sample_rate'} (processor.py:104-158)."""
+    src = sample["wav"]
+    if isinstance(src, bytes):
+        wav = load_wav_bytes(src, sample_rate)
+    else:
+        wav, _ = load_audio(src, sample_rate,
+                            sample.get("start"), sample.get("end"))
+    sample["waveform"] = wav
+    sample["sample_rate"] = sample_rate
+    return sample
+
+
+def do_speed_perturb(sample: Dict, speeds=(0.9, 1.0, 1.1),
+                     rng: Optional[np.random.Generator] = None) -> Dict:
+    """(processor.py:183-208)"""
+    rng = rng or np.random.default_rng()
+    speed = speeds[rng.integers(len(speeds))]
+    sample["waveform"] = speed_perturb(sample["waveform"], speed,
+                                       sample["sample_rate"])
+    return sample
+
+
+def compute_fbank(sample: Dict, num_mel_bins: int = 80, frame_length: float = 25,
+                  frame_shift: float = 10, dither: float = 0.0,
+                  rng: Optional[np.random.Generator] = None) -> Dict:
+    sample["feat"] = compute_fbank_numpy(
+        sample["waveform"], num_mel_bins, frame_length, frame_shift, dither,
+        sample["sample_rate"], rng=rng)
+    return sample
+
+
+def tokenize(sample: Dict, tokenizer) -> Dict:
+    """(processor.py:353-368)"""
+    tokens, ids = tokenizer.tokenize(sample.get("txt", ""))
+    sample["tokens"] = tokens
+    sample["label"] = np.asarray(ids, np.int64)
+    return sample
+
+
+def filter_sample(sample: Dict, max_length: int = 40960, min_length: int = 0,
+                  token_max_length: int = 400, token_min_length: int = 1,
+                  min_output_input_ratio: float = 0.00005,
+                  max_output_input_ratio: float = 1.0) -> bool:
+    """(processor.py:370-419)"""
+    n_frames = sample["feat"].shape[0]
+    if not (min_length <= n_frames <= max_length):
+        return False
+    if "label" in sample:
+        n_tok = len(sample["label"])
+        if not (token_min_length <= n_tok <= token_max_length):
+            return False
+        if n_frames > 0:
+            ratio = n_tok / n_frames
+            if not (min_output_input_ratio <= ratio <= max_output_input_ratio):
+                return False
+    return True
+
+
+def spec_aug(sample: Dict, num_t_mask: int = 2, num_f_mask: int = 2, max_t: int = 50,
+             max_f: int = 10, rng: Optional[np.random.Generator] = None) -> Dict:
+    """SpecAugment time/freq masking (processor.py:421-456)."""
+    rng = rng or np.random.default_rng()
+    x = sample["feat"].copy()
+    t, f = x.shape
+    mean = x.mean()
+    for _ in range(num_t_mask):
+        start = rng.integers(0, max(t, 1))
+        length = rng.integers(1, max_t + 1)
+        x[start:start + length] = mean
+    for _ in range(num_f_mask):
+        start = rng.integers(0, max(f, 1))
+        length = rng.integers(1, max_f + 1)
+        x[:, start:start + length] = mean
+    sample["feat"] = x
+    return sample
+
+
+def spec_sub(sample: Dict, max_t: int = 20, num_t_sub: int = 3,
+             rng: Optional[np.random.Generator] = None) -> Dict:
+    """Time substitution from earlier frames (processor.py:458-485)."""
+    rng = rng or np.random.default_rng()
+    x = sample["feat"].copy()
+    t = x.shape[0]
+    for _ in range(num_t_sub):
+        if t < 2:
+            break
+        start = rng.integers(0, t)
+        length = int(rng.integers(1, max_t + 1))
+        end = min(t, start + length)
+        pos = rng.integers(0, start + 1)
+        x[start:end] = sample["feat"][start - pos:end - pos]
+    sample["feat"] = x
+    return sample
+
+
+def spec_trim(sample: Dict, max_t: int = 20,
+              rng: Optional[np.random.Generator] = None) -> Dict:
+    """Trim trailing frames (processor.py:487-507)."""
+    rng = rng or np.random.default_rng()
+    t = sample["feat"].shape[0]
+    length = int(rng.integers(1, max_t + 1))
+    if length < t / 2:
+        sample["feat"] = sample["feat"][: t - length]
+    return sample
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def padding(batch: List[Dict], time_bucket: int = 128, label_bucket: int = 32,
+            is_classification: bool = False) -> Dict[str, np.ndarray]:
+    """Collate sorted-desc by length (processor.py:509-576).
+
+    TPU twist: pad the time/label axes up to bucket multiples so the jitted
+    train step sees a small, finite set of shapes instead of one per batch.
+    """
+    order = np.argsort([-s["feat"].shape[0] for s in batch])
+    batch = [batch[i] for i in order]
+    feats_lens = np.array([s["feat"].shape[0] for s in batch], np.int32)
+    max_t = _round_up(int(feats_lens.max()), time_bucket)
+    feats = np.zeros((len(batch), max_t, batch[0]["feat"].shape[1]), np.float32)
+    for i, s in enumerate(batch):
+        feats[i, : s["feat"].shape[0]] = s["feat"]
+    out = {
+        "keys": [s.get("key", str(i)) for i, s in enumerate(batch)],
+        "feats": feats,
+        "feats_lengths": feats_lens,
+    }
+    if is_classification:
+        tasks = sorted(batch[0].get("class_labels", {}).keys())
+        for t in tasks:
+            out[f"label_{t}"] = np.array([s["class_labels"][t] for s in batch], np.int64)
+    elif "label" in batch[0]:
+        label_lens = np.array([len(s["label"]) for s in batch], np.int32)
+        max_u = _round_up(max(int(label_lens.max()), 1), label_bucket)
+        labels = np.full((len(batch), max_u), -1, np.int64)
+        for i, s in enumerate(batch):
+            labels[i, : len(s["label"])] = s["label"]
+        out["target"] = labels
+        out["target_lengths"] = label_lens
+    return out
+
+
+class DynamicBatchWindow:
+    """Token-budget batching predicate (processor.py:578-594):
+    close the batch when longest * (n + 1) > max_frames_in_batch."""
+
+    def __init__(self, max_frames_in_batch: int = 12000):
+        self.longest = 0
+        self.max_frames = max_frames_in_batch
+
+    def __call__(self, sample: Dict, buffer_size: int) -> bool:
+        n = sample["feat"].shape[0]
+        self.longest = max(self.longest, n)
+        if self.longest * (buffer_size + 1) > self.max_frames:
+            self.longest = n
+            return True
+        return False

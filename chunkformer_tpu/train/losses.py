@@ -99,3 +99,70 @@ def asr_model_loss(
 
     metrics["loss"] = loss
     return metrics
+
+
+def transducer_model_loss(
+    params,
+    cfg: ChunkFormerConfig,
+    feats: jnp.ndarray,
+    feats_lens: jnp.ndarray,
+    targets: jnp.ndarray,
+    target_lens: jnp.ndarray,
+    chunk_size: int = 0,
+    left_context_size: int = 0,
+    right_context_size: int = 0,
+    train: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """RNN-T + optional CTC + optional AED hybrid loss
+    (reference: transducer/transducer.py:98-208,450-478):
+    loss = w_t * rnnt + w_ctc * ctc + w_att * att."""
+    from ..models.transducer import joint_forward, rnn_predictor_forward
+    from ..ops.rnnt import rnnt_loss
+
+    mc = cfg.model_conf
+    blank = cfg.ctc_conf.ctc_blank_id
+    vocab = cfg.vocab_size
+    sos = eos = vocab - 1
+    rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
+
+    enc_out, enc_mask = encoder_forward(
+        params["encoder"], cfg.encoder_conf, feats, feats_lens,
+        chunk_size, left_context_size, right_context_size, train, rngs[0])
+    enc_lens = enc_mask.sum(-1).astype(jnp.int32)
+
+    # predictor input: blank-prepended targets (transducer.py:160-170 add_blank)
+    tgt = jnp.where(targets == IGNORE_ID, 0, targets)
+    pred_in = jnp.concatenate(
+        [jnp.full((targets.shape[0], 1), blank, targets.dtype), tgt], axis=1)
+    pred_out = rnn_predictor_forward(params["predictor"], cfg.predictor_conf,
+                                     pred_in, train=train, rng=rngs[1])
+    logits = joint_forward(params["joint"], cfg.joint_conf, enc_out, pred_out)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1) \
+        if not cfg.joint_conf.hat_joint else logits.astype(jnp.float32)
+    losses = rnnt_loss(log_probs, tgt, enc_lens, target_lens, blank)
+    loss_rnnt = jnp.mean(losses)
+
+    metrics: Dict[str, jnp.ndarray] = {"loss_rnnt": loss_rnnt}
+    loss = mc.transducer_weight * loss_rnnt
+
+    if "ctc" in params and mc.ctc_weight > 0.0:
+        ctc_lg = ctc_logits(params["ctc"], enc_out)
+        ctc_lp = jax.nn.log_softmax(ctc_lg.astype(jnp.float32), axis=-1)
+        loss_ctc = jnp.sum(ctc_loss(ctc_lp, enc_lens, tgt, target_lens, blank)) \
+            / feats.shape[0]
+        metrics["loss_ctc"] = loss_ctc
+        loss = loss + mc.ctc_weight * loss_ctc
+
+    if "decoder" in params and mc.attention_weight > 0.0:
+        ys_in, ys_out = add_sos_eos(targets, target_lens, sos, eos)
+        l_logits, _ = decoder_forward(
+            params["decoder"], cfg.decoder_conf, enc_out, enc_mask,
+            ys_in, target_lens + 1, None, 0.0, train, rngs[2])
+        loss_att = label_smoothing_loss(l_logits, ys_out, mc.lsm_weight,
+                                        normalize_length=mc.length_normalized_loss)
+        metrics["loss_att"] = loss_att
+        loss = loss + mc.attention_weight * loss_att
+
+    metrics["loss"] = loss
+    return metrics

@@ -1,0 +1,140 @@
+"""Search algorithm tests: prefix beam vs exact CTC posterior, context graph,
+attention beam + rescoring smoke."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from chunkformer_tpu.decode.context_graph import ContextGraph
+from chunkformer_tpu.decode.search import (attention_beam_search, attention_rescoring,
+                                           ctc_greedy_search, ctc_prefix_beam_search)
+from chunkformer_tpu.ops.ctc import ctc_loss
+
+
+def test_prefix_beam_matches_exact_posterior():
+    """With a wide beam, top-1 must be the sequence maximizing exact CTC prob."""
+    rng = np.random.default_rng(0)
+    t, v = 6, 4
+    logits = rng.normal(size=(1, t, v)).astype(np.float32) * 2
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+
+    best_seq, best_lp = [], -np.inf
+    for u in range(0, t + 1):
+        for seq in itertools.product(range(1, v), repeat=u):
+            # skip sequences with immediate repeats collapsed identically? CTC
+            # handles repeats; score every sequence.
+            tgt = np.zeros((1, max(u, 1)), np.int64)
+            tgt[0, :u] = seq
+            # infeasible sequences (too many repeats for T frames) come back
+            # as 0 via zero_infinity — skip them
+            n_repeats = sum(1 for a, b in zip(seq, seq[1:]) if a == b)
+            if u + n_repeats > t:
+                continue
+            lp = -float(ctc_loss(jnp.asarray(logp), jnp.asarray([t]),
+                                 jnp.asarray(tgt), jnp.asarray([u]))[0])
+            if lp > best_lp:
+                best_lp, best_seq = lp, list(seq)
+
+    res = ctc_prefix_beam_search(logp, np.array([t]), beam_size=32)[0]
+    assert res.tokens == best_seq
+    # beam truncation loses a little probability mass vs the exact posterior
+    np.testing.assert_allclose(res.score, best_lp, rtol=2e-2)
+
+
+def test_prefix_beam_times_monotonic():
+    rng = np.random.default_rng(1)
+    logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(2, 20, 8)).astype(np.float32)), -1))
+    results = ctc_prefix_beam_search(logp, np.array([20, 13]), beam_size=8)
+    for res in results:
+        assert len(res.times) == len(res.tokens)
+        assert all(a <= b for a, b in zip(res.times, res.times[1:]))
+        assert len(res.nbest) <= 8
+
+
+def test_greedy_matches_prefix_structure():
+    rng = np.random.default_rng(2)
+    logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(1, 10, 5)).astype(np.float32) * 4), -1))
+    g = ctc_greedy_search(logp, np.array([10]))[0]
+    assert len(g.times) == len(g.tokens)
+    assert 0.0 <= g.confidence <= 1.0
+
+
+def test_context_graph_boost_and_finalize():
+    # phrases: [1,2,3] and [2,4]
+    g = ContextGraph([[1, 2, 3], [2, 4]], context_score=2.0)
+    s = g.root
+    total = 0.0
+    for tok in (1, 2, 3):
+        d, s = g.forward_one_step(s, tok)
+        total += d
+    assert s.is_end
+    fin, s = g.finalize(s)
+    # net boost of a full k-token match after finalize = k * context_score
+    assert total + fin == pytest.approx(6.0)
+    assert s is g.root
+
+    # partial match then mismatch backs off to zero net boost
+    s = g.root
+    d1, s = g.forward_one_step(s, 1)
+    assert d1 == pytest.approx(2.0)
+    d2, s = g.forward_one_step(s, 4)  # (1,4) matches nothing -> falls off
+    fin, s = g.finalize(s)
+    assert d1 + d2 + fin == pytest.approx(0.0)
+    assert s is g.root
+
+    # suffix via fail arcs: tokens 1,2,4 -> ends matching phrase [2,4]
+    s = g.root
+    tot = 0.0
+    for tok in (1, 2, 4):
+        d, s = g.forward_one_step(s, tok)
+        tot += d
+    assert s.is_end
+    fin, _ = g.finalize(s)
+    assert tot + fin == pytest.approx(4.0)  # [2,4] fully matched
+
+
+@pytest.fixture(scope="module")
+def aed_setup():
+    from chunkformer_tpu.config import ChunkFormerConfig
+    from chunkformer_tpu.models.asr import init_asr_model
+
+    cfg = ChunkFormerConfig.from_dict({
+        "model": "asr_model",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2, "linear_units": 64,
+                         "num_blocks": 1, "cnn_module_norm": "layer_norm"},
+        "decoder": "bitransformer",
+        "decoder_conf": {"attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+                         "r_num_blocks": 1, "dropout_rate": 0.0},
+        "model_conf": {"ctc_weight": 0.3, "reverse_weight": 0.3},
+        "output_dim": 16,
+    })
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    enc_out = jnp.asarray(np.random.default_rng(0).normal(size=(2, 9, 32)), jnp.float32)
+    return cfg, params, enc_out
+
+
+def test_attention_beam_search_runs(aed_setup):
+    cfg, params, enc_out = aed_setup
+    mask = jnp.asarray(np.array([[True] * 9, [True] * 6 + [False] * 3]))
+    results = attention_beam_search(params, cfg, enc_out, mask, beam_size=4)
+    assert len(results) == 2
+    for r in results:
+        assert all(0 <= t < cfg.vocab_size for t in r.tokens)
+
+
+def test_attention_rescoring_picks_from_nbest(aed_setup):
+    cfg, params, enc_out = aed_setup
+    rng = np.random.default_rng(3)
+    logp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.normal(size=(2, 9, cfg.vocab_size)).astype(np.float32)), -1))
+    lens = np.array([9, 6])
+    prefix = ctc_prefix_beam_search(logp, lens, beam_size=4)
+    rescored = attention_rescoring(params, cfg, prefix, enc_out, lens,
+                                   ctc_weight=0.3, reverse_weight=0.3)
+    for res, pre in zip(rescored, prefix):
+        assert res.tokens in pre.nbest
