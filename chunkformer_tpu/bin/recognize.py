@@ -1,0 +1,121 @@
+"""`chunkformer-recognize` batch evaluation CLI
+(reference: chunkformer/bin/recognize.py:185-309): decode a test set with one
+or more strategies, write per-mode hypothesis files, report WER when
+references exist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+import numpy as np
+
+
+MODES = ["ctc_greedy_search", "ctc_prefix_beam_search", "attention", "attention_rescoring"]
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="ChunkFormer-TPU recognition")
+    p.add_argument("--model_checkpoint", required=True)
+    p.add_argument("--test_data", required=True, help="TSV/list with wav [txt]")
+    p.add_argument("--result_dir", required=True)
+    p.add_argument("--modes", nargs="+", default=["ctc_greedy_search"], choices=MODES)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--beam_size", type=int, default=10)
+    p.add_argument("--chunk_size", type=int, default=-1)
+    p.add_argument("--left_context_size", type=int, default=-1)
+    p.add_argument("--right_context_size", type=int, default=-1)
+    p.add_argument("--ctc_weight", type=float, default=0.3)
+    p.add_argument("--reverse_weight", type=float, default=0.0)
+    p.add_argument("--blank_penalty", type=float, default=0.0)
+    p.add_argument("--context_list", default=None, help="hotword file")
+    p.add_argument("--context_score", type=float, default=6.0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    import jax.numpy as jnp
+
+    from ..api import ChunkFormerModel
+    from ..data.pipeline import text_line_source
+    from ..decode.outputs import tokens_to_text, word_error_rate
+    from ..decode.search import (attention_beam_search, attention_rescoring,
+                                 ctc_greedy_search, ctc_prefix_beam_search)
+
+    model = ChunkFormerModel.from_pretrained(args.model_checkpoint)
+    cfg = model.config
+    samples = list(text_line_source(args.test_data))
+    os.makedirs(args.result_dir, exist_ok=True)
+
+    context_graph = None
+    if args.context_list:
+        from ..data.tokenizer import CharTokenizer
+        from ..decode.context_graph import ContextGraph
+
+        table = {v: k for k, v in model.char_dict.items()}
+        tok = CharTokenizer(table)
+        context_graph = ContextGraph.from_file(args.context_list, tok,
+                                               args.context_score)
+
+    files = {m: open(os.path.join(args.result_dir, f"{m}.txt"), "w") for m in args.modes}
+    hyps_by_mode = {m: [] for m in args.modes}
+    refs = []
+
+    for i in range(0, len(samples), args.batch_size):
+        batch = samples[i:i + args.batch_size]
+        feats = [model.extract_features(s["wav"]) for s in batch]
+        max_t = max(f.shape[0] for f in feats)
+        xs = np.zeros((len(batch), max_t, feats[0].shape[1]), np.float32)
+        lens = np.zeros(len(batch), np.int32)
+        for j, f in enumerate(feats):
+            xs[j, : f.shape[0]] = f
+            lens[j] = f.shape[0]
+        enc_out, enc_lens = model.encode(xs, lens, args.chunk_size,
+                                         args.left_context_size, args.right_context_size)
+        enc_lens = np.asarray(enc_lens)
+        logp = np.asarray(model.ctc_logprobs(enc_out))
+        if args.blank_penalty != 0.0:
+            logp[..., 0] -= args.blank_penalty
+
+        for mode in args.modes:
+            if mode == "ctc_greedy_search":
+                results = ctc_greedy_search(logp, enc_lens)
+            elif mode == "ctc_prefix_beam_search":
+                results = ctc_prefix_beam_search(logp, enc_lens, args.beam_size,
+                                                 context_graph)
+            elif mode == "attention":
+                mask = np.arange(enc_out.shape[1])[None, :] < enc_lens[:, None]
+                results = attention_beam_search(model.params, cfg, enc_out,
+                                                jnp.asarray(mask), args.beam_size)
+            else:  # attention_rescoring
+                prefix = ctc_prefix_beam_search(logp, enc_lens, args.beam_size,
+                                                context_graph)
+                results = attention_rescoring(model.params, cfg, prefix, enc_out,
+                                              enc_lens, args.ctc_weight,
+                                              args.reverse_weight)
+            for s, r in zip(batch, results):
+                text = tokens_to_text(r.tokens, model.char_dict)
+                files[mode].write(f"{s.get('key', s['wav'])}\t{text}\n")
+                hyps_by_mode[mode].append(text)
+        refs.extend(s.get("txt", "") for s in batch)
+        logging.info("decoded %d/%d", min(i + args.batch_size, len(samples)),
+                     len(samples))
+
+    for mode, f in files.items():
+        f.close()
+        if any(refs):
+            wer = word_error_rate(hyps_by_mode[mode], refs)
+            logging.info("%s WER: %.4f", mode, wer)
+            with open(os.path.join(args.result_dir, f"{mode}.wer"), "w") as wf:
+                wf.write(f"WER: {wer:.4f}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
