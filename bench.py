@@ -41,7 +41,10 @@ def main():
         },
         "output_dim": 6992,
     })
-    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    # synthesize random params on host (remote-compiling the init graph is slow)
+    from chunkformer_tpu.utils.params import random_params_like
+
+    params = random_params_like(lambda k: init_asr_model(k, cfg))
     model = ChunkFormerModel(cfg, params, char_dict=None, dtype=jnp.bfloat16)
 
     # synthetic 30-minute stream of fbank features (10 ms frames)

@@ -203,7 +203,10 @@ class ChunkFormerModel:
         att_cache, cnn_cache = init_caches(cfg, left, dtype=self.dtype)
         step_fn = self._parallel_chunk_fn(c, left, right, capacity, trunc)
 
-        token_parts: List[np.ndarray] = []
+        # Pipeline: dispatch each segment asynchronously and defer all token
+        # fetches to the end, so host-side packing of segment i+1 overlaps the
+        # device compute of segment i (device steps chain through the caches).
+        pending = []  # (tokens_device, enc_len, keep)
         offset = 0
         idx = 0
         for start in range(0, t_total, step_raw):
@@ -212,20 +215,20 @@ class ChunkFormerModel:
             x_len = x.shape[0]
             packed = chunk_ops.pack_chunks([x], [x_len], c, sub, offsets=[offset],
                                            capacity=capacity)
-            out, tokens, att_cache, cnn_cache = step_fn(
+            _, tokens, att_cache, cnn_cache = step_fn(
                 self.params, jnp.asarray(packed.xs), jnp.asarray(packed.chunk_idx),
                 jnp.asarray(packed.offsets), jnp.asarray(packed.max_lens),
                 att_cache, cnn_cache)
             enc_len = int(packed.out_lens[0])
-            toks = np.asarray(tokens).reshape(-1)[:enc_len]
-            if c * multiply_n * sub * idx + rel_right < t_total:
-                toks = toks[:trunc]
-            offset += len(toks)
-            token_parts.append(toks)
-            if c * multiply_n * sub * idx + rel_right >= t_total:
+            is_last = c * multiply_n * sub * idx + rel_right >= t_total
+            keep = enc_len if is_last else min(trunc, enc_len)
+            pending.append((tokens, keep))
+            offset += keep
+            if is_last:
                 break
             idx += 1
-        return np.concatenate(token_parts) if token_parts else np.zeros(0, np.int32)
+        parts = [np.asarray(tok).reshape(-1)[:keep] for tok, keep in pending]
+        return np.concatenate(parts) if parts else np.zeros(0, np.int32)
 
     def batch_decode(
         self,

@@ -173,6 +173,39 @@ def attention_parallel_chunk(
     return out, new_cache
 
 
+def attention_parallel_chunk_pallas(
+    p: Params, x: jnp.ndarray, pos_emb: jnp.ndarray,
+    chunk_idx: jnp.ndarray, offsets: jnp.ndarray, max_lens: jnp.ndarray,
+    cache: jnp.ndarray, left_context: int, right_context: int,
+    truncated_context_size: int, heads: int,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused-kernel variant of attention_parallel_chunk: no KV-window
+    materialization; masks recomputed in-kernel from packer metadata."""
+    from ..ops.pallas.chunk_attention import chunk_attention_pallas
+
+    n, c, d = x.shape
+    L, R = left_context, right_context
+    q = _project(p, "q", x, heads)
+    k = _project(p, "k", x, heads)
+    v = _project(p, "v", x, heads)
+    kv = jnp.concatenate([k, v], axis=-1)
+    flat = kv.reshape(n * c, heads, -1)
+    flat = jnp.concatenate([cache.astype(flat.dtype), flat], axis=0)
+    new_cache = jax.lax.dynamic_slice_in_dim(flat, truncated_context_size, L, axis=0)
+    flat = jnp.pad(flat, ((0, R), (0, 0), (0, 0)))
+
+    d_k = d // heads
+    p_proj = linear(p["pos"], pos_emb.astype(x.dtype)).reshape(-1, heads, d_k)
+    ctx = chunk_attention_pallas(
+        q, flat, p_proj,
+        p["pos_bias_u"].astype(x.dtype), p["pos_bias_v"].astype(x.dtype),
+        chunk_idx, offsets, max_lens,
+        chunk=c, left=L, right=R, interpret=interpret)
+    out = linear(p["out"], ctx.reshape(n, c, d))
+    return out, new_cache
+
+
 def attention_streaming(
     p: Params, x: jnp.ndarray, pos_emb: jnp.ndarray, att_mask: jnp.ndarray,
     cache: jnp.ndarray, heads: int,

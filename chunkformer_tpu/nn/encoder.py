@@ -195,11 +195,17 @@ def encoder_parallel_chunk(
     att_cache: jnp.ndarray,   # [n_layers, L, H, 2dk]
     cnn_cache: jnp.ndarray,   # [n_layers, D, lorder]
     truncated_context_size: int = 0,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Masked-batch inference over packed chunk rows (encoder.py:503-681).
 
     Returns (out [N, c, D], new_att_cache, new_cnn_cache).
+    With use_pallas, attention runs through the fused Pallas kernel
+    (ops/pallas/chunk_attention.py) instead of the XLA gather path.
     """
+    from .attention import attention_parallel_chunk_pallas
+
     c, L, R = chunk_size, left_context_size, right_context_size
     x = _embed(p, cfg, xs)  # [N, c, D]
     pos_emb = jnp.asarray(rel_pos_slice(cfg.output_size, c, L, R, cfg.max_pos_len))
@@ -213,6 +219,11 @@ def encoder_parallel_chunk(
         layer_p, a_cache, c_cache = scanned
 
         def attn_fn(h):
+            if use_pallas:
+                return attention_parallel_chunk_pallas(
+                    layer_p["self_attn"], h, pos_emb, chunk_idx, offsets, max_lens,
+                    a_cache, L, R, truncated_context_size, cfg.attention_heads,
+                    interpret=pallas_interpret)
             return attention_parallel_chunk(
                 layer_p["self_attn"], h, pos_emb, att_mask, a_cache, L, R,
                 truncated_context_size, cfg.attention_heads)
