@@ -79,6 +79,7 @@ class ChunkFormerModel:
         self.params = jax.tree.map(jnp.asarray, params)
         self.char_dict = char_dict
         self.dtype = dtype
+        self.label_mapping = None
         self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------ loading
@@ -114,7 +115,15 @@ class ChunkFormerModel:
         if os.path.exists(vocab_path):
             table = read_symbol_table(vocab_path)
             char_dict = {v: k for k, v in table.items()}
-        return cls(config, params, char_dict, dtype)
+        model = cls(config, params, char_dict, dtype)
+
+        lm_path = os.path.join(model_dir, "label_mapping.json")
+        if os.path.exists(lm_path):
+            import json
+
+            with open(lm_path) as f:
+                model.label_mapping = json.load(f)
+        return model
 
     # ------------------------------------------------------------------ features
 
@@ -134,6 +143,14 @@ class ChunkFormerModel:
 
     # ------------------------------------------------------------------ encoder steps
 
+    @property
+    def is_transducer(self) -> bool:
+        return self.config.model == "transducer"
+
+    @property
+    def is_classification(self) -> bool:
+        return self.config.model == "classification"
+
     def _parallel_chunk_fn(self, chunk_size: int, left: int, right: int,
                            capacity: int, trunc: int):
         """Build (and cache) the jitted masked-batch encoder+CTC step."""
@@ -141,17 +158,34 @@ class ChunkFormerModel:
         if key in self._jit_cache:
             return self._jit_cache[key]
         cfg = self.config.encoder_conf
+        with_ctc = not self.is_transducer and not self.is_classification
 
         @partial(jax.jit, donate_argnums=(5, 6))
         def step(params, xs, chunk_idx, offsets, max_lens, att_cache, cnn_cache):
             out, new_att, new_cnn = encoder_parallel_chunk(
                 params["encoder"], cfg, xs.astype(self.dtype), chunk_idx, offsets,
                 max_lens, chunk_size, left, right, att_cache, cnn_cache, trunc)
-            tokens = ctc_argmax(params["ctc"], out) if "ctc" in params else None
+            tokens = ctc_argmax(params["ctc"], out) \
+                if with_ctc and "ctc" in params else out[..., 0]
             return out, tokens, new_att, new_cnn
 
         self._jit_cache[key] = step
         return step
+
+    def _transducer_greedy(self, enc_out: jnp.ndarray, enc_lens: np.ndarray):
+        """Batched RNN-T greedy over encoder outputs (padded per utterance)."""
+        from .models.transducer import (greedy_tokens_to_sequences,
+                                        transducer_greedy_search)
+
+        key = ("rnnt_greedy", enc_out.shape)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(lambda p, e, l: transducer_greedy_search(
+                p, self.config, e, l, n_steps=8,
+                blank=self.config.ctc_conf.ctc_blank_id))
+        frame_tokens = self._jit_cache[key](self.params, enc_out,
+                                            jnp.asarray(enc_lens))
+        return greedy_tokens_to_sequences(frame_tokens, enc_lens,
+                                          self.config.ctc_conf.ctc_blank_id)
 
     # ------------------------------------------------------------------ decoding
 
@@ -167,20 +201,52 @@ class ChunkFormerModel:
     ):
         """Long-form decode with bounded memory (chunkformer_model.py:320-459)."""
         feats = self.extract_features(audio_path)
-        tokens = self.endless_encode_tokens(
-            feats, chunk_size, left_context_size, right_context_size, total_batch_duration)
-        if self.char_dict is None:
-            return tokens
-        result = get_output_with_timestamps(tokens, self.char_dict, max_silence_duration)
+        if self.is_transducer:
+            from .decode.outputs import segments_from_tokens
+
+            enc = self.endless_encode(feats, chunk_size, left_context_size,
+                                      right_context_size, total_batch_duration)
+            seqs = self._transducer_greedy(jnp.asarray(enc, self.dtype)[None],
+                                           np.asarray([enc.shape[0]]))
+            seq, times = seqs[0]
+            if self.char_dict is None:
+                return seq
+            result = segments_from_tokens(seq, times, self.char_dict,
+                                          max_silence_duration)
+        else:
+            tokens = self.endless_encode_tokens(
+                feats, chunk_size, left_context_size, right_context_size,
+                total_batch_duration)
+            if self.char_dict is None:
+                return tokens
+            result = get_output_with_timestamps(tokens, self.char_dict,
+                                                max_silence_duration)
         if not return_timestamps:
             return " ".join(seg["decode"] for seg in result).strip()
         return result
+
+    def endless_encode(self, feats: np.ndarray, chunk_size: int, left: int,
+                       right: int, total_batch_duration: int) -> np.ndarray:
+        """Stream features through the encoder; return encoder outputs [T', D]."""
+        parts = self._endless_segments(feats, chunk_size, left, right,
+                                       total_batch_duration, want_encoder=True)
+        d = self.config.encoder_conf.output_size
+        return (np.concatenate(parts) if parts else np.zeros((0, d), np.float32))
 
     def endless_encode_tokens(
         self, feats: np.ndarray, chunk_size: int, left: int, right: int,
         total_batch_duration: int,
     ) -> np.ndarray:
         """Stream features through the encoder; return frame-level CTC tokens."""
+        parts = self._endless_segments(feats, chunk_size, left, right,
+                                       total_batch_duration, want_encoder=False)
+        return np.concatenate(parts) if parts else np.zeros(0, np.int32)
+
+    def _endless_segments(
+        self, feats: np.ndarray, chunk_size: int, left: int, right: int,
+        total_batch_duration: int, want_encoder: bool = False,
+    ):
+        """Shared macro-segment loop (chunkformer_model.py:344-434 sizing)."""
         cfg = self.config.encoder_conf
         sub = cfg.subsampling_rate
         conv_lorder = cfg.conv_lorder
@@ -203,10 +269,10 @@ class ChunkFormerModel:
         att_cache, cnn_cache = init_caches(cfg, left, dtype=self.dtype)
         step_fn = self._parallel_chunk_fn(c, left, right, capacity, trunc)
 
-        # Pipeline: dispatch each segment asynchronously and defer all token
+        # Pipeline: dispatch each segment asynchronously and defer all result
         # fetches to the end, so host-side packing of segment i+1 overlaps the
         # device compute of segment i (device steps chain through the caches).
-        pending = []  # (tokens_device, enc_len, keep)
+        pending = []  # (result_device, keep)
         offset = 0
         idx = 0
         for start in range(0, t_total, step_raw):
@@ -215,20 +281,23 @@ class ChunkFormerModel:
             x_len = x.shape[0]
             packed = chunk_ops.pack_chunks([x], [x_len], c, sub, offsets=[offset],
                                            capacity=capacity)
-            _, tokens, att_cache, cnn_cache = step_fn(
+            out, tokens, att_cache, cnn_cache = step_fn(
                 self.params, jnp.asarray(packed.xs), jnp.asarray(packed.chunk_idx),
                 jnp.asarray(packed.offsets), jnp.asarray(packed.max_lens),
                 att_cache, cnn_cache)
             enc_len = int(packed.out_lens[0])
             is_last = c * multiply_n * sub * idx + rel_right >= t_total
             keep = enc_len if is_last else min(trunc, enc_len)
-            pending.append((tokens, keep))
+            pending.append((out if want_encoder else tokens, keep))
             offset += keep
             if is_last:
                 break
             idx += 1
-        parts = [np.asarray(tok).reshape(-1)[:keep] for tok, keep in pending]
-        return np.concatenate(parts) if parts else np.zeros(0, np.int32)
+        if want_encoder:
+            d = self.config.encoder_conf.output_size
+            return [np.asarray(o, np.float32).reshape(-1, d)[:keep]
+                    for o, keep in pending]
+        return [np.asarray(tok).reshape(-1)[:keep] for tok, keep in pending]
 
     def batch_decode(
         self,
@@ -263,10 +332,30 @@ class ChunkFormerModel:
                 _n_chunks(f.shape[0], c, cfg.subsampling_rate) for f in batch_feats), 64))
         att_cache, cnn_cache = init_caches(cfg, left, dtype=self.dtype)
         step_fn = self._parallel_chunk_fn(c, left, right, packed.xs.shape[0], 0)
-        _, tokens, _, _ = step_fn(
+        out, tokens, _, _ = step_fn(
             self.params, jnp.asarray(packed.xs), jnp.asarray(packed.chunk_idx),
             jnp.asarray(packed.offsets), jnp.asarray(packed.max_lens),
             att_cache, cnn_cache)
+        if self.is_transducer:
+            # un-pack encoder outs per utterance, re-pad, batched RNN-T greedy
+            # (chunkformer_model.py:533-541)
+            d = self.config.encoder_conf.output_size
+            out = np.asarray(out, np.float32).reshape(-1, c, d)
+            enc_lens = np.asarray(packed.out_lens)
+            max_t = int(enc_lens.max())
+            batch = np.zeros((len(packed.n_chunks), max_t, d), np.float32)
+            row = 0
+            for i, (n, enc_len) in enumerate(zip(packed.n_chunks, enc_lens)):
+                flat = out[row:row + n].reshape(-1, d)[:enc_len]
+                batch[i, :enc_len] = flat
+                row += n
+            seqs = self._transducer_greedy(jnp.asarray(batch, self.dtype), enc_lens)
+            hyps = [seq for seq, _ in seqs]
+            if self.char_dict is None:
+                return hyps
+            from .decode.outputs import tokens_to_text
+
+            return [tokens_to_text(h, self.char_dict) for h in hyps]
         tokens = np.asarray(tokens)  # [N, c]
         hyps = []
         row = 0
@@ -291,6 +380,20 @@ class ChunkFormerModel:
 
     def ctc_logprobs(self, encoder_out) -> jnp.ndarray:
         return ctc_log_probs(self.params["ctc"], encoder_out)
+
+    def classify_audio(self, audio_path: str, chunk_size: int = -1,
+                       left_context_size: int = -1, right_context_size: int = -1):
+        """Single-audio classification (chunkformer_model.py:554-646)."""
+        from .models.classification import classify_predict
+
+        if chunk_size is None or chunk_size < 0:
+            chunk_size = left_context_size = right_context_size = 0
+        feats = self.extract_features(audio_path)
+        return classify_predict(
+            self.params, self.config, jnp.asarray(feats[None], self.dtype),
+            np.asarray([feats.shape[0]], np.int32), self.label_mapping,
+            chunk_size=chunk_size, left_context_size=left_context_size,
+            right_context_size=right_context_size)
 
 
 def _n_chunks(t: int, c: int, sub: int = 8) -> int:

@@ -160,6 +160,51 @@ def convert_decoder(sd: Dict[str, Any], cfg: ChunkFormerConfig,
     return {"left": one_side(prefix, dec.num_blocks)}
 
 
+def convert_predictor(sd: Dict[str, Any], cfg: ChunkFormerConfig,
+                      prefix: str = "predictor.") -> Dict[str, Any]:
+    """RNN predictor (reference: transducer/predictor.py:69-207)."""
+    pc = cfg.predictor_conf
+    p: Dict[str, Any] = {
+        "embed": {"w": _t(sd[f"{prefix}embed.weight"])},
+        "projection": _linear(sd, f"{prefix}projection"),
+        "rnn": [],
+    }
+    for i in range(pc.num_layers):
+        p["rnn"].append({
+            "w_ih": _t(sd[f"{prefix}rnn.weight_ih_l{i}"]),
+            "w_hh": _t(sd[f"{prefix}rnn.weight_hh_l{i}"]),
+            "b_ih": _t(sd[f"{prefix}rnn.bias_ih_l{i}"]),
+            "b_hh": _t(sd[f"{prefix}rnn.bias_hh_l{i}"]),
+        })
+    return p
+
+
+def convert_joint(sd: Dict[str, Any], prefix: str = "joint.") -> Dict[str, Any]:
+    """Transducer joint (reference: transducer/joint.py:9-68)."""
+    p: Dict[str, Any] = {}
+    if f"{prefix}enc_ffn.weight" in sd:
+        p["enc_ffn"] = _linear(sd, f"{prefix}enc_ffn")
+        p["pred_ffn"] = _linear(sd, f"{prefix}pred_ffn")
+    if f"{prefix}post_ffn.weight" in sd:
+        p["post_ffn"] = _linear(sd, f"{prefix}post_ffn")
+    if f"{prefix}ffn_out.weight" in sd:
+        p["ffn_out"] = _linear(sd, f"{prefix}ffn_out")
+    if f"{prefix}blank_pred.2.weight" in sd:
+        p["blank_pred"] = _linear(sd, f"{prefix}blank_pred.2")
+        p["token_pred"] = _linear(sd, f"{prefix}token_pred.2")
+    return p
+
+
+def convert_classification_heads(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """classification_heads.<task>.linear (classification_model.py:87-100)."""
+    heads: Dict[str, Any] = {}
+    for key in sd:
+        if key.startswith("classification_heads.") and key.endswith(".linear.weight"):
+            task = key.split(".")[1]
+            heads[task] = {"linear": _linear(sd, f"classification_heads.{task}.linear")}
+    return heads
+
+
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     """Read a torch .bin/.pt checkpoint into numpy arrays (host-side only)."""
     import torch
@@ -177,4 +222,9 @@ def convert_checkpoint(sd: Dict[str, Any], cfg: ChunkFormerConfig) -> Dict[str, 
         params["ctc"] = convert_ctc(sd)
     if cfg.decoder and any(k.startswith("decoder.") for k in sd):
         params["decoder"] = convert_decoder(sd, cfg)
+    if any(k.startswith("predictor.") for k in sd):
+        params["predictor"] = convert_predictor(sd, cfg)
+        params["joint"] = convert_joint(sd)
+    if any(k.startswith("classification_heads.") for k in sd):
+        params["heads"] = convert_classification_heads(sd)
     return params

@@ -61,27 +61,30 @@ def tokens_to_text(tokens: Sequence[int], char_dict: Dict[int, str]) -> str:
 
 
 def get_output(hyps: Sequence[Sequence[int]], char_dict: Dict[int, str],
-               blank: int = 0) -> List[str]:
-    """Frame-token sequences -> transcripts (reference model_utils.py:164-172)."""
+               model_type: str = "asr_model", blank: int = 0) -> List[str]:
+    """Frame-token sequences -> transcripts (reference model_utils.py:164-172).
+
+    CTC (asr_model) collapses duplicate frames; transducer emissions are real
+    tokens — only blanks are removed.
+    """
     out = []
     for h in hyps:
-        tokens, _ = collapse_with_times(h, blank)
+        if model_type == "asr_model":
+            tokens, _ = collapse_with_times(h, blank)
+        else:
+            tokens = [int(t) for t in h if int(t) != blank]
         out.append(tokens_to_text(tokens, char_dict))
     return out
 
 
-def get_output_with_timestamps(
-    frame_tokens: Sequence[int],
+def segments_from_tokens(
+    tokens: Sequence[int],
+    times: Sequence[int],
     char_dict: Dict[int, str],
     max_silence_duration: float = 0.5,
-    blank: int = 0,
 ) -> List[Dict]:
-    """Segment a long-form decode at silence gaps (model_utils.py:174-222).
-
-    A gap of >= max_silence_duration seconds between token peaks starts a new
-    segment. Returns a list of {"decode", "start", "end"} dicts.
-    """
-    tokens, times = collapse_with_times(frame_tokens, blank)
+    """Silence-gap segmentation of an already-collapsed (token, frame) stream
+    (model_utils.py:174-222)."""
     if not tokens:
         return []
     max_gap_frames = max_silence_duration / FRAME_SECONDS
@@ -100,6 +103,17 @@ def get_output_with_timestamps(
         prev_time = tm
     segments.append(_make_segment(seg_tokens, seg_start, prev_time, char_dict))
     return [s.as_dict() for s in segments]
+
+
+def get_output_with_timestamps(
+    frame_tokens: Sequence[int],
+    char_dict: Dict[int, str],
+    max_silence_duration: float = 0.5,
+    blank: int = 0,
+) -> List[Dict]:
+    """CTC frame stream -> silence-segmented transcript with timestamps."""
+    tokens, times = collapse_with_times(frame_tokens, blank)
+    return segments_from_tokens(tokens, times, char_dict, max_silence_duration)
 
 
 def _make_segment(tokens, start_frame, end_frame, char_dict) -> Segment:

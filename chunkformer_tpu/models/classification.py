@@ -18,32 +18,27 @@ from ..nn.encoder import encoder_forward, init_encoder
 from ..nn.layers import Params, dropout, kaiming_linear_init, linear
 
 
-def init_classification_head(rng, input_dim: int, num_classes: int,
-                             hidden_dim: int = 256) -> Params:
-    """Linear -> ReLU -> dropout -> Linear (classification_model.py:25-52)."""
-    k1, k2 = jax.random.split(rng)
-    return {"fc1": kaiming_linear_init(k1, input_dim, hidden_dim),
-            "fc2": kaiming_linear_init(k2, hidden_dim, num_classes)}
+def init_classification_head(rng, input_dim: int, num_classes: int) -> Params:
+    """Dropout -> Linear (reference classification_model.py:25-52)."""
+    return {"linear": kaiming_linear_init(rng, input_dim, num_classes)}
 
 
 def classification_head_forward(p: Params, x: jnp.ndarray, drop_rng=None,
                                 drop_rate: float = 0.1, train: bool = False) -> jnp.ndarray:
-    h = jax.nn.relu(linear(p["fc1"], x))
-    h = dropout(drop_rng, h, drop_rate, train)
-    return linear(p["fc2"], h)
+    h = dropout(drop_rng, x, drop_rate, train)
+    return linear(p["linear"], h)
 
 
 def init_classification_model(rng, cfg: ChunkFormerConfig,
                               cmvn: Optional[tuple] = None) -> Params:
     """tasks come from cfg.classification_conf: {"tasks": {name: num_classes}}."""
     tasks: Dict[str, int] = cfg.classification_conf.get("tasks", {})
-    hidden = cfg.classification_conf.get("head_hidden_dim", 256)
     ks = jax.random.split(rng, len(tasks) + 1)
     params: Params = {"encoder": init_encoder(ks[0], cfg.encoder_conf, cmvn)}
     heads = {}
     for i, (name, n_classes) in enumerate(sorted(tasks.items())):
         heads[name] = init_classification_head(ks[i + 1], cfg.encoder_conf.output_size,
-                                               n_classes, hidden)
+                                               n_classes)
     params["heads"] = heads
     return params
 

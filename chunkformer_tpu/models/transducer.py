@@ -103,6 +103,109 @@ def rnn_predictor_step(p: Params, cfg: PredictorConfig, tokens: jnp.ndarray,
     return linear(p["projection"], x), (jnp.stack(hs), jnp.stack(cs))
 
 
+# ------------------------------------------------- embedding / conv predictors
+
+
+def init_embedding_predictor(rng, cfg: PredictorConfig, vocab_size: int) -> Params:
+    """Multi-head positional embedding predictor (arXiv 2109.07513;
+    reference predictor.py:210-365)."""
+    ks = jax.random.split(rng, 3)
+    context = cfg.history_size + 1
+    return {
+        "embed": {"w": jax.random.normal(ks[0], (vocab_size, cfg.embed_size))},
+        # torch Linear(embed*context, n_head, bias=False) stores [n_head, embed*context]
+        "pos_embed": {"w": jax.random.normal(ks[1], (cfg.n_head,
+                                                     cfg.embed_size * context)) * 0.02},
+        "ffn": kaiming_linear_init(ks[2], cfg.embed_size, cfg.embed_size),
+        "norm": {"scale": jnp.ones(cfg.embed_size), "bias": jnp.zeros(cfg.embed_size)},
+    }
+
+
+def _embedding_predictor_core(p: Params, cfg: PredictorConfig,
+                              windows: jnp.ndarray) -> jnp.ndarray:
+    """windows: [bs, seq, context, embed] -> [bs, seq, embed]."""
+    from ..nn.layers import layer_norm
+
+    context = cfg.history_size + 1
+    act = ACTIVATIONS[cfg.activation]
+    # [n_head, embed, context] (reference predictor.py:300-304)
+    pos = p["pos_embed"]["w"].reshape(cfg.n_head, cfg.embed_size, context)
+    pos = pos.transpose(0, 2, 1)                       # [n_head, context, embed]
+    # weight[b,s,h,c] = sum_e windows[b,s,c,e] * pos[h,c,e]
+    weight = jnp.einsum("bsce,hce->bshc", windows, pos.astype(windows.dtype))
+    # output[b,s,h,e] = sum_c weight[b,s,h,c] * windows[b,s,c,e]
+    out = jnp.einsum("bshc,bsce->bshe", weight, windows)
+    out = out.sum(axis=2) / (cfg.n_head * context)
+    out = linear(p["ffn"], out)
+    out = layer_norm(p["norm"], out)
+    return act(out)
+
+
+def embedding_predictor_forward(p: Params, cfg: PredictorConfig, tokens: jnp.ndarray,
+                                train: bool = False, rng=None) -> jnp.ndarray:
+    context = cfg.history_size + 1
+    x = p["embed"]["w"][tokens]
+    x = dropout(rng, x, cfg.embed_dropout, train)
+    b, u, e = x.shape
+    x = jnp.pad(x, ((0, 0), (context - 1, 0), (0, 0)))
+    idx = jnp.arange(u)[:, None] + jnp.arange(context)[None, :]
+    windows = x[:, idx]                                # [bs, seq, context, embed]
+    return _embedding_predictor_core(p, cfg, windows)
+
+
+def embedding_predictor_step(p: Params, cfg: PredictorConfig, tokens: jnp.ndarray,
+                             history: jnp.ndarray):
+    """tokens [B]; history [B, context-1, embed] -> ([B, embed], new_history)."""
+    x = p["embed"]["w"].astype(history.dtype)[tokens][:, None]   # [B, 1, E]
+    ctx = jnp.concatenate([history, x], axis=1)        # [B, context, E]
+    out = _embedding_predictor_core(p, cfg, ctx[:, None])[:, 0]
+    return out, ctx[:, 1:]
+
+
+def init_conv_predictor(rng, cfg: PredictorConfig, vocab_size: int) -> Params:
+    """Depthwise-conv label encoder (reference predictor.py:365-471)."""
+    ks = jax.random.split(rng, 2)
+    context = cfg.history_size + 1
+    return {
+        "embed": {"w": jax.random.normal(ks[0], (vocab_size, cfg.embed_size))},
+        "conv": conv_init(ks[1], (cfg.embed_size, 1, context),
+                          groups=cfg.embed_size, bias=False),
+        "norm": {"scale": jnp.ones(cfg.embed_size), "bias": jnp.zeros(cfg.embed_size)},
+    }
+
+
+def conv_predictor_forward(p: Params, cfg: PredictorConfig, tokens: jnp.ndarray,
+                           train: bool = False, rng=None) -> jnp.ndarray:
+    from ..nn.layers import layer_norm
+
+    context = cfg.history_size + 1
+    act = ACTIVATIONS[cfg.activation if cfg.activation else "relu"]
+    x = p["embed"]["w"][tokens]
+    x = dropout(rng, x, cfg.embed_dropout, train)
+    x = jnp.pad(x, ((0, 0), (context - 1, 0), (0, 0)))
+    xc = x.transpose(0, 2, 1)                          # [B, E, U+ctx-1]
+    y = jax.lax.conv_general_dilated(
+        xc, p["conv"]["w"].astype(xc.dtype), (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=xc.shape[1])
+    y = y.transpose(0, 2, 1)
+    return act(layer_norm(p["norm"], y))
+
+
+def conv_predictor_step(p: Params, cfg: PredictorConfig, tokens: jnp.ndarray,
+                        history: jnp.ndarray):
+    from ..nn.layers import layer_norm
+
+    act = ACTIVATIONS[cfg.activation if cfg.activation else "relu"]
+    x = p["embed"]["w"].astype(history.dtype)[tokens][:, None]
+    ctx = jnp.concatenate([history, x], axis=1)        # [B, context, E]
+    xc = ctx.transpose(0, 2, 1)
+    y = jax.lax.conv_general_dilated(
+        xc, p["conv"]["w"].astype(xc.dtype), (1,), "VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"), feature_group_count=xc.shape[1])
+    y = y.transpose(0, 2, 1)[:, 0]
+    return act(layer_norm(p["norm"], y[:, None]))[:, 0], ctx[:, 1:]
+
+
 # ----------------------------------------------------------------- joint network
 
 
@@ -148,6 +251,42 @@ def joint_forward(p: Params, cfg: JointConfig, enc_out: jnp.ndarray,
     return jnp.concatenate([blank_logp, label_logp], axis=-1)
 
 
+# ------------------------------------------------------- predictor dispatch
+
+
+def predictor_forward(params: Params, cfg: PredictorConfig, tokens: jnp.ndarray,
+                      train: bool = False, rng=None) -> jnp.ndarray:
+    if cfg.predictor_type == "embedding":
+        return embedding_predictor_forward(params, cfg, tokens, train, rng)
+    if cfg.predictor_type == "conv":
+        return conv_predictor_forward(params, cfg, tokens, train, rng)
+    return rnn_predictor_forward(params, cfg, tokens, train=train, rng=rng)
+
+
+def predictor_init_state(cfg: PredictorConfig, batch: int, dtype=jnp.float32):
+    if cfg.predictor_type in ("embedding", "conv"):
+        return jnp.zeros((batch, cfg.history_size, cfg.embed_size), dtype)
+    return rnn_predictor_init_state(cfg, batch, dtype)
+
+
+def predictor_step(params: Params, cfg: PredictorConfig, tokens: jnp.ndarray, state):
+    if cfg.predictor_type == "embedding":
+        return embedding_predictor_step(params, cfg, tokens, state)
+    if cfg.predictor_type == "conv":
+        return conv_predictor_step(params, cfg, tokens, state)
+    return rnn_predictor_step(params, cfg, tokens, state)
+
+
+def predictor_state_select(cfg: PredictorConfig, emitted: jnp.ndarray, new, old):
+    """Merge per-batch predictor states where `emitted` is True. emitted: [B]."""
+    if cfg.predictor_type in ("embedding", "conv"):
+        return jnp.where(emitted[:, None, None], new, old)
+    h_new, c_new = new
+    h_old, c_old = old
+    sel = emitted[None, :, None]
+    return jnp.where(sel, h_new, h_old), jnp.where(sel, c_new, c_old)
+
+
 # ----------------------------------------------------------------- model assembly
 
 
@@ -157,9 +296,16 @@ def init_transducer(rng, cfg: ChunkFormerConfig, cmvn: Optional[tuple] = None) -
 
     ks = jax.random.split(rng, 5)
     assert cfg.predictor_conf is not None and cfg.joint_conf is not None
+    ptype = cfg.predictor_conf.predictor_type
+    if ptype == "embedding":
+        predictor = init_embedding_predictor(ks[1], cfg.predictor_conf, cfg.vocab_size)
+    elif ptype == "conv":
+        predictor = init_conv_predictor(ks[1], cfg.predictor_conf, cfg.vocab_size)
+    else:
+        predictor = init_rnn_predictor(ks[1], cfg.predictor_conf, cfg.vocab_size)
     params: Params = {
         "encoder": init_encoder(ks[0], cfg.encoder_conf, cmvn),
-        "predictor": init_rnn_predictor(ks[1], cfg.predictor_conf, cfg.vocab_size),
+        "predictor": predictor,
         "joint": init_joint(ks[2], cfg.joint_conf, cfg.vocab_size),
     }
     if cfg.model_conf.ctc_weight > 0:
@@ -192,11 +338,11 @@ def transducer_greedy_search(
     """
     pcfg, jcfg = cfg.predictor_conf, cfg.joint_conf
     b, t, _ = encoder_out.shape
-    h0, c0 = rnn_predictor_init_state(pcfg, b, encoder_out.dtype)
+    pstate0 = predictor_init_state(pcfg, b, encoder_out.dtype)
     pred_input0 = jnp.full((b,), blank, jnp.int32)
 
     def frame_step(carry, t_i):
-        pred_input, h, c = carry
+        pred_input, pstate = carry
         valid_t = t_i < encoder_out_lens                       # [B]
         enc_t = jax.lax.dynamic_index_in_dim(encoder_out, t_i, axis=1)  # [B,1,E]
 
@@ -205,9 +351,9 @@ def transducer_greedy_search(
             return (step < n_steps) & jnp.any(active)
 
         def emit_body(state):
-            step, active, pred_input, h, c, toks = state
-            pred_out, (h_new, c_new) = rnn_predictor_step(
-                params["predictor"], pcfg, pred_input, (h, c))
+            step, active, pred_input, pstate, toks = state
+            pred_out, pstate_new = predictor_step(
+                params["predictor"], pcfg, pred_input, pstate)
             logits = joint_forward(params["joint"], jcfg, enc_t,
                                    pred_out[:, None, :])       # [B,1,1,V]
             tok = jnp.argmax(logits[:, 0, 0, :], axis=-1).astype(jnp.int32)
@@ -215,17 +361,16 @@ def transducer_greedy_search(
             emitted = active & (tok != blank)
             toks = toks.at[:, step].set(tok)
             pred_input = jnp.where(emitted, tok, pred_input)
-            h = jnp.where(emitted[None, :, None], h_new, h)
-            c = jnp.where(emitted[None, :, None], c_new, c)
-            return step + 1, emitted, pred_input, h, c, toks
+            pstate = predictor_state_select(pcfg, emitted, pstate_new, pstate)
+            return step + 1, emitted, pred_input, pstate, toks
 
         toks0 = jnp.full((b, n_steps), blank, jnp.int32)
-        state = (jnp.asarray(0), valid_t, pred_input, h, c, toks0)
-        _, _, pred_input, h, c, toks = jax.lax.while_loop(emit_cond, emit_body, state)
-        return (pred_input, h, c), toks
+        state = (jnp.asarray(0), valid_t, pred_input, pstate, toks0)
+        _, _, pred_input, pstate, toks = jax.lax.while_loop(emit_cond, emit_body, state)
+        return (pred_input, pstate), toks
 
-    (_, _, _), frame_tokens = jax.lax.scan(
-        frame_step, (pred_input0, h0, c0), jnp.arange(t))
+    (_, _), frame_tokens = jax.lax.scan(
+        frame_step, (pred_input0, pstate0), jnp.arange(t))
     return frame_tokens.transpose(1, 0, 2)  # [B, T, n_steps]
 
 

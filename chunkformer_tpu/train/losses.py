@@ -117,7 +117,7 @@ def transducer_model_loss(
     """RNN-T + optional CTC + optional AED hybrid loss
     (reference: transducer/transducer.py:98-208,450-478):
     loss = w_t * rnnt + w_ctc * ctc + w_att * att."""
-    from ..models.transducer import joint_forward, rnn_predictor_forward
+    from ..models.transducer import joint_forward, predictor_forward
     from ..ops.rnnt import rnnt_loss
 
     mc = cfg.model_conf
@@ -135,8 +135,8 @@ def transducer_model_loss(
     tgt = jnp.where(targets == IGNORE_ID, 0, targets)
     pred_in = jnp.concatenate(
         [jnp.full((targets.shape[0], 1), blank, targets.dtype), tgt], axis=1)
-    pred_out = rnn_predictor_forward(params["predictor"], cfg.predictor_conf,
-                                     pred_in, train=train, rng=rngs[1])
+    pred_out = predictor_forward(params["predictor"], cfg.predictor_conf,
+                                 pred_in, train=train, rng=rngs[1])
     logits = joint_forward(params["joint"], cfg.joint_conf, enc_out, pred_out)
     log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1) \
         if not cfg.joint_conf.hat_joint else logits.astype(jnp.float32)

@@ -72,6 +72,29 @@ def make_reference_state_dict(cfg, rng=None):
     sd["ctc.ctc_lo.weight"] = t(v, d)
     sd["ctc.ctc_lo.bias"] = t(v)
 
+    if cfg.predictor:
+        pc = cfg.predictor_conf
+        sd["predictor.embed.weight"] = t(v, pc.embed_size)
+        for i in range(pc.num_layers):
+            in_dim = pc.embed_size if i == 0 else pc.hidden_size
+            sd[f"predictor.rnn.weight_ih_l{i}"] = t(4 * pc.hidden_size, in_dim)
+            sd[f"predictor.rnn.weight_hh_l{i}"] = t(4 * pc.hidden_size, pc.hidden_size)
+            sd[f"predictor.rnn.bias_ih_l{i}"] = t(4 * pc.hidden_size)
+            sd[f"predictor.rnn.bias_hh_l{i}"] = t(4 * pc.hidden_size)
+        sd["predictor.projection.weight"] = t(pc.output_size, pc.hidden_size)
+        sd["predictor.projection.bias"] = t(pc.output_size)
+        jc = cfg.joint_conf
+        sd["joint.enc_ffn.weight"] = t(jc.join_dim, jc.enc_output_size)
+        sd["joint.enc_ffn.bias"] = t(jc.join_dim)
+        sd["joint.pred_ffn.weight"] = t(jc.join_dim, jc.pred_output_size)
+        sd["joint.pred_ffn.bias"] = t(jc.join_dim)
+        sd["joint.ffn_out.weight"] = t(v, jc.join_dim)
+        sd["joint.ffn_out.bias"] = t(v)
+
+    for task, n_classes in cfg.classification_conf.get("tasks", {}).items():
+        sd[f"classification_heads.{task}.linear.weight"] = t(n_classes, d)
+        sd[f"classification_heads.{task}.linear.bias"] = t(n_classes)
+
     if cfg.decoder:
         dec = cfg.decoder_conf
         sides = [("left_decoder.", dec.num_blocks)]
