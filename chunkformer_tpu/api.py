@@ -80,6 +80,8 @@ class ChunkFormerModel:
         self.char_dict = char_dict
         self.dtype = dtype
         self.label_mapping = None
+        # force per-segment host sync in endless decode (A/B for pipelining)
+        self.sync_segments = os.environ.get("CHUNKFORMER_SYNC_SEGMENTS", "0") == "1"
         self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------ loading
@@ -288,7 +290,10 @@ class ChunkFormerModel:
             enc_len = int(packed.out_lens[0])
             is_last = c * multiply_n * sub * idx + rel_right >= t_total
             keep = enc_len if is_last else min(trunc, enc_len)
-            pending.append((out if want_encoder else tokens, keep))
+            result = out if want_encoder else tokens
+            if self.sync_segments:
+                result = np.asarray(result)
+            pending.append((result, keep))
             offset += keep
             if is_last:
                 break

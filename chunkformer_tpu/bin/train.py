@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--enc_init", default=None, help="dir of pretrained model")
     p.add_argument("--enc_init_mods", default="encoder.",
                    help="comma-separated path regexes to copy")
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: call jax.distributed.initialize() "
+                        "(coordinator from env; replaces torchrun c10d rdzv)")
     return p.parse_args(argv)
 
 
@@ -42,6 +45,11 @@ def main(argv=None):
                         format="%(asctime)s %(levelname)s %(message)s")
 
     import jax
+
+    if args.distributed:
+        # multi-host bring-up: coordinator/num_processes/process_id come from
+        # the TPU environment or JAX_COORDINATOR_* env vars
+        jax.distributed.initialize()
 
     from ..config import ChunkFormerConfig, override_config
     from ..data.tokenizer import build_tokenizer

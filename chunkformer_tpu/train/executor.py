@@ -36,11 +36,29 @@ def pick_loss_fn(cfg: ChunkFormerConfig):
     return asr_model_loss
 
 
+class MetricsWriter:
+    """JSONL metrics log (stands in for the reference's tensorboard writer,
+    train_utils.py:582-588,788-894). One line per logged step; rank 0 only."""
+
+    def __init__(self, path: Optional[str]):
+        self.f = open(path, "a") if path and jax.process_index() == 0 else None
+
+    def log(self, step: int, scope: str, metrics: Dict[str, float]):
+        if self.f is None:
+            return
+        import json
+
+        self.f.write(json.dumps({"step": step, "scope": scope, **metrics}) + "\n")
+        self.f.flush()
+
+
 class Executor:
     def __init__(self, cfg: ChunkFormerConfig, optimizer, model_dir: str,
                  log_interval: int = 100, accum_grad: int = 1,
                  save_interval: Optional[int] = None, seed: int = 777,
                  mesh=None):
+        import os
+
         self.cfg = cfg
         self.optimizer = optimizer
         self.model_dir = model_dir
@@ -53,6 +71,8 @@ class Executor:
         self._step_cache: Dict = {}
         self._eval_step = None
         self.loss_fn = pick_loss_fn(cfg)
+        os.makedirs(model_dir, exist_ok=True)
+        self.metrics = MetricsWriter(os.path.join(model_dir, "metrics.jsonl"))
 
     def _get_train_step(self, chunk_cfg):
         if chunk_cfg not in self._step_cache:
@@ -88,6 +108,8 @@ class Executor:
                     epoch, step, chunk_cfg, m.get("loss", float("nan")),
                     " ".join(f"{k}={v:.3f}" for k, v in m.items() if k != "loss"),
                     rate)
+                self.metrics.log(step, "train", {**m, "utts_per_s": rate,
+                                                 "epoch": epoch})
             if self.save_interval and step % self.save_interval == 0 and step > 0:
                 cv_loss = self.cv(state.params, cv_dataset) if cv_dataset else None
                 self.save(state, epoch, tag=f"step_{step}", cv_loss=cv_loss)
