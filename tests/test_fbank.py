@@ -74,3 +74,20 @@ def test_fbank_frame_count():
     for n in (400, 401, 559, 560, 16000):
         wave = np.zeros(n, np.float32)
         assert fbank(wave).shape[0] == num_frames(n)
+
+
+def test_fbank_pallas_matches_reference():
+    from chunkformer_tpu.ops.pallas.fbank import fbank_pallas
+
+    rng = np.random.default_rng(3)
+    wave = (rng.normal(size=16000 + 123) * 8000).astype(np.float32)
+    want = np.asarray(fbank(wave))
+    got = np.asarray(fbank_pallas(wave, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-3)
+
+
+def test_fbank_pallas_short():
+    from chunkformer_tpu.ops.pallas.fbank import fbank_pallas
+
+    assert fbank_pallas(np.zeros(100, np.float32), interpret=True).shape == (0, 80)
