@@ -76,32 +76,35 @@ def fbank_pallas(
     wav = waveform.astype(jnp.float32)
     wav = jnp.pad(wav, (0, max(0, total_rows * shift - s)))[: total_rows * shift]
     wav2d = wav.reshape(total_rows, shift)
+    # k row-shifted views: frame f = concat(view_0[f], view_1[f], ..., :win);
+    # each view is block-aligned so no in-kernel DMA/gather is needed.
+    views = [jax.lax.dynamic_slice_in_dim(wav2d, j, n_pad, axis=0)
+             for j in range(k_rows)]
 
-    def kernel(rows_hbm, cos_ref, sin_ref, winw_ref, mel_ref, out_ref,
-               rows_scratch, sem):
-        ti = pl.program_id(0)
-        # tile i's frames span rows [i*frame_tile, i*frame_tile + tile + k)
-        dma = pltpu.make_async_copy(
-            rows_hbm.at[pl.ds(ti * frame_tile, frame_tile + k_rows), :],
-            rows_scratch, sem)
-        dma.start()
-        dma.wait()
-        blocks = [rows_scratch[i: i + frame_tile, :] for i in range(k_rows)]
-        frames = jnp.concatenate(blocks, axis=1)[:, :win]   # [tile, win]
+    def kernel(*refs):
+        row_refs = refs[:k_rows]
+        cos_ref, sin_ref, winw_ref, mel_ref, out_ref = refs[k_rows:]
+        frames = jnp.concatenate([r[:] for r in row_refs], axis=1)[:, :win]
         frames = frames - jnp.mean(frames, axis=1, keepdims=True)
         prev = jnp.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
         frames = (frames - 0.97 * prev) * winw_ref[0, :]
-        re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32)
-        im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32)
+        # HIGHEST precision: the MXU's default bf16 truncation is far too
+        # coarse for a DFT of int16-scale audio followed by a log
+        re = jnp.dot(frames, cos_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        im = jnp.dot(frames, sin_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         power = re * re + im * im                           # [tile, n_bins]
-        melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32)
+        melspec = jnp.dot(power, mel_ref[:], preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
         out_ref[:] = jnp.log(jnp.maximum(melspec, _EPSILON))
 
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            *[pl.BlockSpec((frame_tile, shift), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM) for _ in range(k_rows)],
             pl.BlockSpec((win, n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((win, n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, win), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -111,16 +114,12 @@ def fbank_pallas(
         out_specs=pl.BlockSpec((frame_tile, num_mel_bins), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, num_mel_bins), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((frame_tile + k_rows, shift), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_pad * win * n_bins * 2 + 2 * n_pad * n_bins * num_mel_bins,
             bytes_accessed=n_pad * (win + num_mel_bins) * 4,
             transcendentals=n_pad * num_mel_bins,
         ),
-    )(wav2d, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(window)[None],
+    )(*views, jnp.asarray(cos_m), jnp.asarray(sin_m), jnp.asarray(window)[None],
       jnp.asarray(mel))
     return out[:n]
