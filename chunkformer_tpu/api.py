@@ -139,14 +139,23 @@ class ChunkFormerModel:
             frame_shift=float(fbank_conf.get("frame_shift", 10)),
             sample_rate=sr,
         )
+        # bucket the waveform length so one jitted fbank program serves many
+        # file lengths (pad samples, trim frames)
+        from .ops.fbank import num_frames
+
+        n_frames = num_frames(len(wav), sr, kwargs["frame_length"],
+                              kwargs["frame_shift"])
+        bucket = 100_000  # 6.25 s at 16 kHz
+        padded = -(-max(len(wav), 1) // bucket) * bucket
+        wav_p = np.pad(wav, (0, padded - len(wav)))
         if jax.devices()[0].platform not in ("cpu",):
             # fused Pallas DFT/mel kernel: ~20x faster than the XLA FFT path
             from .ops.pallas.fbank import fbank_pallas
 
-            feats = fbank_pallas(jnp.asarray(wav), **kwargs)
+            feats = fbank_pallas(jnp.asarray(wav_p), **kwargs)
         else:
-            feats = fbank(jnp.asarray(wav), dither=0.0, **kwargs)
-        return np.asarray(feats)
+            feats = fbank(jnp.asarray(wav_p), dither=0.0, **kwargs)
+        return np.asarray(feats)[:n_frames]
 
     # ------------------------------------------------------------------ encoder steps
 

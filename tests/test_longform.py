@@ -1,0 +1,46 @@
+"""Long-form decode scaling: many macro-segments, one compiled program,
+bounded memory — the 16-hour-audio property at test scale."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from chunkformer_tpu.api import ChunkFormerModel
+from chunkformer_tpu.config import ChunkFormerConfig
+from chunkformer_tpu.models.asr import init_asr_model
+from tests.helpers import TINY_MODEL_YAML
+
+
+def test_endless_decode_many_segments():
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    model = ChunkFormerModel(cfg, params)
+
+    # 600 s of synthetic features with a tiny 8 s segment budget -> ~40 segments
+    feats = np.random.default_rng(0).normal(size=(60_000, 80)).astype(np.float32)
+    c, L, R = 8, 16, 16
+    tokens = model.endless_encode_tokens(feats, c, L, R, total_batch_duration=16)
+    # output frame count == full-utterance subsampled length
+    from chunkformer_tpu.ops.chunk import calc_length
+
+    assert tokens.shape[0] == calc_length(60_000)
+    # exactly one compiled program for the segment loop
+    pc_keys = [k for k in model._jit_cache if k[0] == "pc"]
+    assert len(pc_keys) == 1
+
+    # and the segmented result equals the single-shot masked batch
+    single = model._decode_feature_batch([feats], c, L, R)
+    np.testing.assert_array_equal(tokens, single[0])
+
+
+def test_endless_tokens_match_bigger_budget():
+    """Budget (segment size) must not change the transcription."""
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(1), cfg)
+    model = ChunkFormerModel(cfg, params)
+    feats = np.random.default_rng(1).normal(size=(20_000, 80)).astype(np.float32)
+    a = model.endless_encode_tokens(feats, 8, 16, 16, total_batch_duration=16)
+    b = model.endless_encode_tokens(feats, 8, 16, 16, total_batch_duration=60)
+    assert a.shape == b.shape
+    # tolerance: the inherited-cache approximation may flip rare argmax ties
+    assert (a != b).mean() < 0.02
