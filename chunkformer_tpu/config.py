@@ -101,6 +101,10 @@ class ModelConfig:
     # transducer extras (reference: transducer/transducer.py:24-97)
     transducer_weight: float = 0.75
     attention_weight: float = 0.1
+    # banded (pruned) RNN-T loss (reference uses k2 pruned loss when enable_k2,
+    # transducer.py:504-542)
+    use_pruned_loss: bool = False
+    prune_range: int = 5
 
 
 @dataclass

@@ -88,6 +88,113 @@ def rnnt_loss(
     return -loglik
 
 
+def rnnt_band_bounds(input_lengths: jnp.ndarray, target_lengths: jnp.ndarray,
+                     t: int, s_range: int) -> jnp.ndarray:
+    """Per-frame label-band starts [B, T] for pruned RNN-T.
+
+    A diagonal band: frame t may emit labels in
+    [u0(t), u0(t) + s_range) with u0 following the linear time-label
+    alignment, clamped so the band stays inside [0, U - s_range + 1].
+    Plays the role of k2's pruning bounds (reference
+    transducer/transducer.py:504-542 uses k2.get_rnnt_prune_ranges); here the
+    band is the monotonic diagonal rather than a first-pass posterior.
+    """
+    t_idx = jnp.arange(t)[None, :]
+    frac = t_idx / jnp.maximum(input_lengths[:, None] - 1, 1)
+    center = frac * target_lengths[:, None]
+    u0 = jnp.floor(center - s_range / 2 + 0.5).astype(jnp.int32)
+    hi = jnp.maximum(target_lengths[:, None] + 1 - s_range, 0)
+    return jnp.clip(u0, 0, hi)
+
+
+@functools.partial(jax.jit, static_argnames=("blank", "s_range", "joint_post"))
+def rnnt_loss_pruned(
+    enc_proj: jnp.ndarray,        # [B, T, J] joint-projected encoder output
+    pred_proj: jnp.ndarray,       # [B, U+1, J] joint-projected predictor output
+    joint_fn_params,              # params consumed by joint_post below
+    targets: jnp.ndarray,         # [B, U]
+    input_lengths: jnp.ndarray,
+    target_lengths: jnp.ndarray,
+    joint_post,                   # (params, [B, T, S, J]) -> [B, T, S, V] logits
+    blank: int = 0,
+    s_range: int = 5,
+) -> jnp.ndarray:
+    """Banded RNN-T loss: O(T * s_range) lattice instead of O(T * U).
+
+    The joint network is evaluated only on a [B, T, s_range] diagonal band,
+    cutting the dominant [B, T, U, V] activation to [B, T, s_range, V]
+    (~U/s_range x memory saving — the reason the reference integrates k2's
+    pruned loss, transducer.py:504-542). Paths outside the band are excluded;
+    with s_range >= the alignment spread this tracks the full loss closely.
+    """
+    b, t, _ = enc_proj.shape
+    u1 = pred_proj.shape[1]
+    u = u1 - 1
+
+    bounds = rnnt_band_bounds(input_lengths, target_lengths, t, s_range)  # [B, T]
+
+    # gather band of predictor states: [B, T, S, J]
+    band_idx = bounds[:, :, None] + jnp.arange(s_range)[None, None, :]
+    band_idx = jnp.clip(band_idx, 0, u)
+    pred_band = jnp.take_along_axis(
+        pred_proj[:, None, :, :],
+        band_idx[..., None].repeat(pred_proj.shape[-1], -1), axis=2)
+
+    logits = joint_post(joint_fn_params, enc_proj[:, :, None, :] + pred_band)
+    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+    blank_lp = log_probs[..., blank]                                  # [B, T, S]
+    tgt = jnp.where(jnp.arange(u)[None, :] < target_lengths[:, None], targets, 0)
+    tgt_pad = jnp.pad(tgt, ((0, 0), (0, 1)))                          # [B, U+1]
+    band_tgt = jnp.take_along_axis(tgt_pad[:, None, :], band_idx, axis=2)
+    label_lp = jnp.take_along_axis(log_probs, band_tgt[..., None].astype(jnp.int32),
+                                   axis=3)[..., 0]                    # [B, T, S]
+    # label transition from band slot s is invalid at/after the target length
+    label_valid = band_idx < target_lengths[:, None, None]
+    label_lp = jnp.where(label_valid, label_lp, NEG_INF)
+
+    s_ar = jnp.arange(s_range)
+
+    def label_pass(from_blank, label_col):
+        """alpha[s] = logadd(from_blank[s], alpha[s-1] + label_col[s-1])."""
+        def col(carry, si):
+            fb = jnp.take_along_axis(from_blank, jnp.full((b, 1), si), 1)[:, 0]
+            lb = jnp.take_along_axis(label_col,
+                                     jnp.full((b, 1), jnp.maximum(si - 1, 0)),
+                                     1)[:, 0]
+            val = jnp.where(si > 0, _logadd(fb, carry + lb), fb)
+            return val, val
+
+        _, cols = jax.lax.scan(col, jnp.full((b,), NEG_INF), s_ar)
+        return cols.T                                                  # [B, S]
+
+    # frame 0: start at (t=0, u=0); labels can chain within the frame
+    start0 = jnp.where(bounds[:, 0][:, None] + s_ar[None, :] == 0, 0.0, NEG_INF)
+    alpha0 = label_pass(start0, label_lp[:, 0])
+
+    def step(alpha_prev, t_i):
+        shift = bounds[:, t_i] - bounds[:, t_i - 1]                    # [B]
+        src = s_ar[None, :] + shift[:, None]
+        in_range = (src >= 0) & (src < s_range)
+        src_c = jnp.clip(src, 0, s_range - 1)
+        a_src = jnp.take_along_axis(alpha_prev, src_c, axis=1)
+        b_src = jnp.take_along_axis(blank_lp[:, t_i - 1], src_c, axis=1)
+        from_blank = jnp.where(in_range, a_src + b_src, NEG_INF)
+        alpha_t = label_pass(from_blank, label_lp[:, t_i])
+        # freeze past each utterance's last frame
+        alpha_t = jnp.where((t_i < input_lengths)[:, None], alpha_t, alpha_prev)
+        return alpha_t, None
+
+    alpha, _ = jax.lax.scan(step, alpha0, jnp.arange(1, t))
+
+    t_end = input_lengths - 1
+    end_bounds = bounds[jnp.arange(b), t_end]
+    end_slot = jnp.clip(target_lengths - end_bounds, 0, s_range - 1)
+    a_end = alpha[jnp.arange(b), end_slot]
+    blank_end = blank_lp[jnp.arange(b), t_end, end_slot]
+    return -(a_end + blank_end)
+
+
 def rnnt_loss_reference(log_probs, targets, input_lengths, target_lengths, blank=0):
     """Readable O(T*U) python-loop reference (tests only)."""
     b, t, u1, _ = log_probs.shape

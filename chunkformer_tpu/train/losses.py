@@ -137,10 +137,29 @@ def transducer_model_loss(
         [jnp.full((targets.shape[0], 1), blank, targets.dtype), tgt], axis=1)
     pred_out = predictor_forward(params["predictor"], cfg.predictor_conf,
                                  pred_in, train=train, rng=rngs[1])
-    logits = joint_forward(params["joint"], cfg.joint_conf, enc_out, pred_out)
-    log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1) \
-        if not cfg.joint_conf.hat_joint else logits.astype(jnp.float32)
-    losses = rnnt_loss(log_probs, tgt, enc_lens, target_lens, blank)
+    if mc.use_pruned_loss and cfg.joint_conf.prejoin_linear \
+            and not cfg.joint_conf.hat_joint:
+        # banded loss: evaluate the joint only on a [B, T, s_range] band
+        from ..models.transducer import ACTIVATIONS as _ACT
+        from ..nn.layers import linear as _linear
+        from ..ops.rnnt import rnnt_loss_pruned
+
+        jc = cfg.joint_conf
+        enc_proj = _linear(params["joint"]["enc_ffn"], enc_out)
+        pred_proj = _linear(params["joint"]["pred_ffn"], pred_out)
+        act = _ACT[jc.activation]
+
+        def joint_post(jp, x):
+            return _linear(jp["ffn_out"], act(x))
+
+        losses = rnnt_loss_pruned(
+            enc_proj, pred_proj, params["joint"], tgt, enc_lens, target_lens,
+            joint_post, blank, mc.prune_range)
+    else:
+        logits = joint_forward(params["joint"], cfg.joint_conf, enc_out, pred_out)
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1) \
+            if not cfg.joint_conf.hat_joint else logits.astype(jnp.float32)
+        losses = rnnt_loss(log_probs, tgt, enc_lens, target_lens, blank)
     loss_rnnt = jnp.mean(losses)
 
     metrics: Dict[str, jnp.ndarray] = {"loss_rnnt": loss_rnnt}

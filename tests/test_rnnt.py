@@ -155,3 +155,56 @@ def test_lstm_matches_torch():
         outs.append(h)
     got = jnp.stack(outs, axis=1)
     np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=1e-5)
+
+
+def test_rnnt_loss_pruned_matches_full_when_band_covers_lattice():
+    from chunkformer_tpu.ops.rnnt import rnnt_loss_pruned
+
+    rng = np.random.default_rng(7)
+    b, t, u, j, v = 2, 10, 4, 8, 9
+    enc = jnp.asarray(rng.normal(size=(b, t, j)).astype(np.float32))
+    pred = jnp.asarray(rng.normal(size=(b, u + 1, j)).astype(np.float32))
+    w_out = jnp.asarray(rng.normal(size=(j, v)).astype(np.float32) * 0.5)
+    targets = jnp.asarray(rng.integers(1, v, size=(b, u)))
+    in_lens = jnp.asarray([10, 7])
+    tgt_lens = jnp.asarray([4, 2])
+
+    def joint_post(params, x):
+        return jnp.tanh(x) @ params
+
+    # full loss via the dense lattice
+    logits_full = joint_post(w_out, enc[:, :, None, :] + pred[:, None, :, :])
+    lp_full = jax.nn.log_softmax(logits_full, axis=-1)
+    want = rnnt_loss(lp_full, targets, in_lens, tgt_lens)
+
+    got = rnnt_loss_pruned(enc, pred, w_out, targets, in_lens, tgt_lens,
+                           joint_post, s_range=u + 1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4)
+
+    # narrow band: upper-bounds the full NLL but stays close
+    got5 = rnnt_loss_pruned(enc, pred, w_out, targets, in_lens, tgt_lens,
+                            joint_post, s_range=3)
+    assert np.all(np.asarray(got5) >= np.asarray(want) - 1e-4)
+    assert np.all(np.asarray(got5) - np.asarray(want) < 3.0)
+
+
+def test_rnnt_loss_pruned_grads_finite():
+    from chunkformer_tpu.ops.rnnt import rnnt_loss_pruned
+
+    rng = np.random.default_rng(8)
+    b, t, u, j, v = 2, 12, 6, 8, 11
+    enc = jnp.asarray(rng.normal(size=(b, t, j)).astype(np.float32))
+    pred = jnp.asarray(rng.normal(size=(b, u + 1, j)).astype(np.float32))
+    w_out = jnp.asarray(rng.normal(size=(j, v)).astype(np.float32) * 0.5)
+    targets = jnp.asarray(rng.integers(1, v, size=(b, u)))
+
+    def joint_post(params, x):
+        return jnp.tanh(x) @ params
+
+    def loss(e, p, w):
+        return rnnt_loss_pruned(e, p, w, targets, jnp.array([12, 9]),
+                                jnp.array([6, 3]), joint_post, s_range=3).sum()
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(enc, pred, w_out)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()

@@ -177,3 +177,41 @@ def test_classification_loss():
     metrics = classification_loss(params, cfg, feats, lens, labels, train=False)
     assert np.isfinite(float(metrics["loss"]))
     assert "acc_gender" in metrics and "loss_emotion" in metrics
+
+
+def test_transducer_pruned_loss_close_to_full():
+    from chunkformer_tpu.models.transducer import init_transducer
+    from chunkformer_tpu.train.losses import transducer_model_loss
+
+    base = {
+        "model": "transducer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2, "linear_units": 64,
+                         "num_blocks": 1, "cnn_module_norm": "layer_norm",
+                         "dropout_rate": 0.0, "positional_dropout_rate": 0.0},
+        "predictor": "rnn",
+        "predictor_conf": {"embed_size": 16, "output_size": 16, "hidden_size": 16,
+                           "embed_dropout": 0.0, "num_layers": 1},
+        "joint_conf": {"join_dim": 16, "enc_output_size": 32, "pred_output_size": 16},
+        "model_conf": {"ctc_weight": 0.0, "transducer_weight": 1.0,
+                       "attention_weight": 0.0},
+        "output_dim": 20,
+    }
+    cfg_full = ChunkFormerConfig.from_dict(base)
+    pruned = dict(base)
+    pruned["model_conf"] = dict(base["model_conf"], use_pruned_loss=True,
+                                prune_range=8)
+    cfg_pruned = ChunkFormerConfig.from_dict(pruned)
+
+    params = init_transducer(jax.random.PRNGKey(0), cfg_full)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 71, 80)).astype(np.float32))
+    lens = jnp.asarray([71, 55], jnp.int32)
+    targets = jnp.asarray(rng.integers(1, 19, size=(2, 5)))
+    tlens = jnp.asarray([5, 3], jnp.int32)
+
+    full = transducer_model_loss(params, cfg_full, feats, lens, targets, tlens,
+                                 train=False)["loss"]
+    band = transducer_model_loss(params, cfg_pruned, feats, lens, targets, tlens,
+                                 train=False)["loss"]
+    # prune_range 8 > U+1=6 -> band covers the lattice -> identical loss
+    np.testing.assert_allclose(float(band), float(full), rtol=1e-4)
