@@ -1,0 +1,134 @@
+"""End-to-end CLI subprocess tests: recognize, align, stream, train smoke."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tests.helpers import make_model_dir
+
+SAMPLES = "/root/reference/samples/audios"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=560):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run([sys.executable, "-m"] + args, capture_output=True,
+                          text=True, timeout=timeout, cwd=REPO, env=env)
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("clim")
+    make_model_dir(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def test_list(tmp_path_factory):
+    if not os.path.isdir(SAMPLES):
+        pytest.skip("sample audio not mounted")
+    d = tmp_path_factory.mktemp("lists")
+    path = d / "test.list"
+    with open(path, "w") as f:
+        f.write(f"utt1\t{SAMPLES}/audio_1.wav\txin chào\n")
+        f.write(f"utt2\t{SAMPLES}/audio_3.wav\tmột hai ba\n")
+    return str(path)
+
+
+def test_recognize_cli(model_dir, test_list, tmp_path):
+    out = _run(["chunkformer_tpu.bin.recognize",
+                "--model_checkpoint", model_dir,
+                "--test_data", test_list,
+                "--modes", "ctc_greedy_search", "ctc_prefix_beam_search",
+                "--result_dir", str(tmp_path / "results"),
+                "--chunk_size", "8", "--left_context_size", "16",
+                "--right_context_size", "16", "--beam_size", "4"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    for mode in ("ctc_greedy_search", "ctc_prefix_beam_search"):
+        assert os.path.exists(tmp_path / "results" / f"{mode}.txt")
+        assert os.path.exists(tmp_path / "results" / f"{mode}.wer")
+
+
+def test_alignment_cli(model_dir, test_list, tmp_path):
+    out = _run(["chunkformer_tpu.bin.alignment",
+                "--model_checkpoint", model_dir,
+                "--input_file", test_list,
+                "--result_dir", str(tmp_path / "align")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    grids = os.listdir(tmp_path / "align")
+    assert any(g.endswith(".TextGrid") for g in grids)
+    content = open(tmp_path / "align" / sorted(grids)[0]).read()
+    assert "IntervalTier" in content
+
+
+def test_stream_cli(model_dir):
+    if not os.path.isdir(SAMPLES):
+        pytest.skip("sample audio not mounted")
+    out = _run(["chunkformer_tpu.bin.stream",
+                "--model_checkpoint", model_dir,
+                "--audio_file", f"{SAMPLES}/audio_1.wav",
+                "--chunk_size", "6", "--left_context_size", "16"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "final:" in out.stdout
+
+
+def test_train_cli_smoke(tmp_path):
+    """One-epoch micro-training run through the full CLI path."""
+    from scipy.io import wavfile
+
+    data = tmp_path / "data"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(4):
+        wav = data / f"w{i}.wav"
+        wavfile.write(str(wav), 16000,
+                      (rng.normal(size=8000) * 3000).astype(np.int16))
+        lines.append(f"u{i}\t{wav}\tab ba\n")
+    for name, ls in (("train.list", lines), ("dev.list", lines[:2])):
+        with open(data / name, "w") as f:
+            f.writelines(ls)
+    units = data / "units.txt"
+    units.write_text("<blank> 0\n<unk> 1\na 2\nb 3\n▁ 4\n<sos/eos> 5\n")
+
+    import yaml
+
+    cfg = {
+        "encoder": "chunkformer",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 64, "num_blocks": 1,
+                         "cnn_module_norm": "layer_norm", "dynamic_conv": True},
+        "model": "asr_model",
+        "model_conf": {"ctc_weight": 1.0},
+        "tokenizer": "char",
+        "tokenizer_conf": {"symbol_table_path": str(units)},
+        "dataset_conf": {"fbank_conf": {"num_mel_bins": 80, "dither": 0.0},
+                         "filter_conf": {"max_length": 2000},
+                         "batch_conf": {"batch_type": "static", "batch_size": 2},
+                         "shuffle": False, "sort": False},
+        "max_epoch": 1,
+        "log_interval": 1,
+        "optim": "adam",
+        "optim_conf": {"lr": 0.001},
+        "scheduler": "warmuplr",
+        "scheduler_conf": {"warmup_steps": 5},
+    }
+    cfg_path = data / "conf.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    exp = tmp_path / "exp"
+    out = _run(["chunkformer_tpu.bin.train",
+                "--config", str(cfg_path),
+                "--train_data", str(data / "train.list"),
+                "--cv_data", str(data / "dev.list"),
+                "--model_dir", str(exp)])
+    assert out.returncode == 0, (out.stderr[-3000:], out.stdout[-500:])
+    assert os.path.exists(exp / "epoch_0.yaml")
+    assert os.path.exists(exp / "train.yaml")
+    assert os.path.exists(exp / "metrics.jsonl")
