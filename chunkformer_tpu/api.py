@@ -297,8 +297,13 @@ class ChunkFormerModel:
             x_len = x.shape[0]
             packed = chunk_ops.pack_chunks([x], [x_len], c, sub, offsets=[offset],
                                            capacity=capacity)
+            xs_host = packed.xs
+            if self.dtype == jnp.bfloat16:
+                import ml_dtypes
+
+                xs_host = xs_host.astype(ml_dtypes.bfloat16)  # halve the transfer
             out, tokens, att_cache, cnn_cache = step_fn(
-                self.params, jnp.asarray(packed.xs), jnp.asarray(packed.chunk_idx),
+                self.params, jnp.asarray(xs_host), jnp.asarray(packed.chunk_idx),
                 jnp.asarray(packed.offsets), jnp.asarray(packed.max_lens),
                 att_cache, cnn_cache)
             enc_len = int(packed.out_lens[0])
