@@ -179,6 +179,20 @@ class ChunkFormerConfig:
             pc = dict(d.get("predictor_conf", {}) or {})
             pc["predictor_type"] = d["predictor"]
             pred_conf = PredictorConfig(**_filter_kwargs(PredictorConfig, pc))
+        mc_raw = dict(d.get("model_conf", {}) or {})
+        # reference schema: k2 pruned loss flag (transducer.py:504-542)
+        if mc_raw.pop("enable_k2", False):
+            mc_raw.setdefault("use_pruned_loss", True)
+        # reference schema: classification tasks live under model_conf
+        # (examples/classification/conf/multi_task.yaml)
+        classification_conf = dict(d.get("classification_conf", {}) or {})
+        if "tasks" in mc_raw:
+            classification_conf.setdefault("tasks", mc_raw.pop("tasks"))
+        if d.get("model") == "classification":
+            classification_conf.setdefault("head_dropout",
+                                           mc_raw.get("dropout_rate", 0.1))
+            if "label_smoothing" in mc_raw:
+                mc_raw.setdefault("lsm_weight", mc_raw.pop("label_smoothing"))
         joint_conf = None
         if "joint_conf" in d or d.get("model") == "transducer":
             jc = dict(d.get("joint_conf", {}) or {})
@@ -191,7 +205,7 @@ class ChunkFormerConfig:
             decoder=d.get("decoder"),
             decoder_conf=dec_conf,
             ctc_conf=CTCConfig(**_filter_kwargs(CTCConfig, d.get("ctc_conf", {}) or {})),
-            model_conf=ModelConfig(**_filter_kwargs(ModelConfig, d.get("model_conf", {}) or {})),
+            model_conf=ModelConfig(**_filter_kwargs(ModelConfig, mc_raw)),
             predictor=d.get("predictor"),
             predictor_conf=pred_conf,
             joint_conf=joint_conf,
@@ -201,7 +215,7 @@ class ChunkFormerConfig:
             tokenizer=d.get("tokenizer", "char"),
             tokenizer_conf=d.get("tokenizer_conf", {}) or {},
             dataset_conf=d.get("dataset_conf", {}) or {},
-            classification_conf=d.get("classification_conf", {}) or {},
+            classification_conf=classification_conf,
             raw=d,
         )
 

@@ -190,10 +190,35 @@ class Dataset:
         if conf.get("speed_perturb", False):
             src = mapper_ignore_error(src, lambda s: processor.do_speed_perturb(s, rng=rng))
 
-        fb = conf.get("fbank_conf", {})
-        src = mapper_ignore_error(src, lambda s: processor.compute_fbank(
-            s, fb.get("num_mel_bins", 80), fb.get("frame_length", 25),
-            fb.get("frame_shift", 10), fb.get("dither", 0.0), rng=rng))
+        feats_type = conf.get("feats_type", "fbank")
+        if feats_type == "log_mel_spectrogram":
+            lm = conf.get("log_mel_spectrogram_conf", {})
+
+            def _logmel(s):
+                s["feat"] = processor.compute_log_mel_spectrogram_numpy(
+                    s["waveform"], lm.get("n_fft", 400), lm.get("hop_length", 160),
+                    lm.get("num_mel_bins", 80), s["sample_rate"],
+                    lm.get("padding", 0))
+                return s
+
+            src = mapper_ignore_error(src, _logmel)
+        elif feats_type == "mfcc":
+            mc = conf.get("mfcc_conf", {})
+
+            def _mfcc(s):
+                s["feat"] = processor.compute_mfcc_numpy(
+                    s["waveform"], mc.get("num_mel_bins", 23),
+                    mc.get("num_ceps", 13), mc.get("frame_length", 25),
+                    mc.get("frame_shift", 10), mc.get("dither", 0.0),
+                    s["sample_rate"], rng=rng)
+                return s
+
+            src = mapper_ignore_error(src, _mfcc)
+        else:
+            fb = conf.get("fbank_conf", {})
+            src = mapper_ignore_error(src, lambda s: processor.compute_fbank(
+                s, fb.get("num_mel_bins", 80), fb.get("frame_length", 25),
+                fb.get("frame_shift", 10), fb.get("dither", 0.0), rng=rng))
 
         fc = conf.get("filter_conf", {})
         src = (s for s in src if processor.filter_sample(

@@ -45,6 +45,76 @@ def compute_fbank_numpy(
     return np.log(np.maximum(spec @ banks, _EPS)).astype(np.float32)
 
 
+def compute_log_mel_spectrogram_numpy(
+    waveform: np.ndarray, n_fft: int = 400, hop_length: int = 160,
+    num_mel_bins: int = 80, sample_rate: int = 16000,
+    padding: int = 0) -> np.ndarray:
+    """Whisper-style log-mel spectrogram (reference processor.py:302-350):
+    hann window, reflect-free centered STFT via zero padding, HTK mel scale,
+    log10 with 8-dB dynamic-range clamp, (x+4)/4 normalization."""
+    x = waveform.astype(np.float32) / 32768.0
+    if padding > 0:
+        x = np.pad(x, (0, padding))
+    # centered frames (pad n_fft//2 both sides)
+    x = np.pad(x, (n_fft // 2, n_fft // 2), mode="reflect")
+    n = 1 + (len(x) - n_fft) // hop_length
+    idx = np.arange(n)[:, None] * hop_length + np.arange(n_fft)[None, :]
+    frames = x[idx] * np.hanning(n_fft + 1)[:-1]
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    spec = spec[:-1]  # whisper drops the final frame
+    # slaney-normalized mel filterbank (librosa default, as whisper uses)
+    mel_f = _slaney_mel_bank(num_mel_bins, n_fft, sample_rate)
+    melspec = spec @ mel_f.T
+    log_spec = np.log10(np.maximum(melspec, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+def _slaney_mel_bank(n_mels: int, n_fft: int, sr: int) -> np.ndarray:
+    def hz_to_mel(f):
+        f = np.asarray(f, dtype=np.float64)
+        mel = f / (200.0 / 3)
+        log_step = np.log(6.4) / 27.0
+        above = f >= 1000.0
+        mel = np.where(above, 15.0 + np.log(np.maximum(f, 1e-10) / 1000.0) / log_step, mel)
+        return mel
+
+    def mel_to_hz(m):
+        m = np.asarray(m, dtype=np.float64)
+        f = m * (200.0 / 3)
+        log_step = np.log(6.4) / 27.0
+        above = m >= 15.0
+        return np.where(above, 1000.0 * np.exp(log_step * (m - 15.0)), f)
+
+    fft_freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
+    mel_pts = mel_to_hz(np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2))
+    fdiff = np.diff(mel_pts)
+    ramps = mel_pts[:, None] - fft_freqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1, None]
+    upper = ramps[2:] / fdiff[1:, None]
+    weights = np.maximum(0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_pts[2: n_mels + 2] - mel_pts[:n_mels])
+    return (weights * enorm[:, None]).astype(np.float32)
+
+
+def compute_mfcc_numpy(waveform: np.ndarray, num_mel_bins: int = 23,
+                       num_ceps: int = 13, frame_length: float = 25,
+                       frame_shift: float = 10, dither: float = 0.0,
+                       sample_rate: int = 16000,
+                       rng: Optional[np.random.Generator] = None) -> np.ndarray:
+    """MFCC = DCT-II of the kaldi log-mel fbank with lifter (kaldi defaults)."""
+    fb = compute_fbank_numpy(waveform, num_mel_bins, frame_length, frame_shift,
+                             dither, sample_rate, rng=rng)
+    n = fb.shape[1]
+    k = np.arange(num_ceps)[:, None]
+    j = np.arange(n)[None, :]
+    dct = np.cos(np.pi * k * (2 * j + 1) / (2 * n)) * np.sqrt(2.0 / n)
+    dct[0] *= 1.0 / np.sqrt(2.0)
+    ceps = fb @ dct.T
+    lifter = 1 + 11 * np.sin(np.pi * np.arange(num_ceps) / 22.0)
+    return (ceps * lifter).astype(np.float32)
+
+
 # ------------------------------------------------------------------- stages
 
 
