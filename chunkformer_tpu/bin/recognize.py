@@ -14,7 +14,8 @@ import sys
 import numpy as np
 
 
-MODES = ["ctc_greedy_search", "ctc_prefix_beam_search", "attention", "attention_rescoring"]
+MODES = ["ctc_greedy_search", "ctc_prefix_beam_search",
+         "ctc_prefix_beam_search_batched", "attention", "attention_rescoring"]
 
 
 def parse_args(argv=None):
@@ -89,6 +90,15 @@ def main(argv=None):
             elif mode == "ctc_prefix_beam_search":
                 results = ctc_prefix_beam_search(logp, enc_lens, args.beam_size,
                                                  context_graph)
+            elif mode == "ctc_prefix_beam_search_batched":
+                from ..decode.batched_beam import (batched_beam_to_results,
+                                                   ctc_prefix_beam_search_batched)
+
+                import jax.numpy as _jnp
+
+                toks, tlens, scores = ctc_prefix_beam_search_batched(
+                    _jnp.asarray(logp), _jnp.asarray(enc_lens), args.beam_size)
+                results = batched_beam_to_results(toks, tlens, scores)
             elif mode == "attention":
                 mask = np.arange(enc_out.shape[1])[None, :] < enc_lens[:, None]
                 results = attention_beam_search(model.params, cfg, enc_out,
