@@ -17,6 +17,7 @@ not throughput; see BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -25,6 +26,7 @@ BASELINE_AUDIO_SECONDS_PER_S = 1000.0
 
 
 def main():
+    profile_dir = os.environ.get("CHUNKFORMER_PROFILE_DIR")
     import jax
     import jax.numpy as jnp
 
@@ -56,9 +58,13 @@ def main():
     model.endless_encode_tokens(feats[: n_frames // 6], 64, 128, 128,
                                 total_batch_duration=600)
 
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
     t0 = time.perf_counter()
     tokens = model.endless_encode_tokens(feats, 64, 128, 128, total_batch_duration=600)
     elapsed = time.perf_counter() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
     assert tokens.shape[0] > 0
 
     value = audio_seconds / elapsed

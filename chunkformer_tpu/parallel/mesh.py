@@ -86,12 +86,19 @@ def param_pspec(path: str, leaf, mesh: Mesh, mode: str = "dp") -> P:
                 break
 
     if mode in ("fsdp", "fsdp_tp") and data_n > 1:
-        # shard the largest still-unsharded axis over data (ZeRO-3 analogue)
-        order = sorted(range(ndim), key=lambda d: -leaf.shape[d])
-        for d in order:
-            if spec[d] is None and leaf.shape[d] % data_n == 0 and leaf.shape[d] >= data_n:
-                spec[d] = "data"
-                break
+        # shard the largest still-unsharded axis over data (ZeRO-3 analogue);
+        # leave small tensors replicated — sharding them costs more in
+        # collectives/resharding than it saves in memory
+        total = 1
+        for d in range(ndim):
+            total *= leaf.shape[d]
+        if total >= 65536:
+            order = sorted(range(ndim), key=lambda d: -leaf.shape[d])
+            for d in order:
+                if spec[d] is None and leaf.shape[d] % data_n == 0 \
+                        and leaf.shape[d] >= data_n:
+                    spec[d] = "data"
+                    break
     return P(*spec)
 
 
