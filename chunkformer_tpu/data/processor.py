@@ -144,9 +144,21 @@ def do_speed_perturb(sample: Dict, speeds=(0.9, 1.0, 1.1),
 def compute_fbank(sample: Dict, num_mel_bins: int = 80, frame_length: float = 25,
                   frame_shift: float = 10, dither: float = 0.0,
                   rng: Optional[np.random.Generator] = None) -> Dict:
-    sample["feat"] = compute_fbank_numpy(
+    # Hot path: the native C++ extractor (csrc/chunkformer_host.cc) when
+    # built; the vectorized numpy twin otherwise. Dither is training noise,
+    # so the native RNG stream (seeded from `rng`) is statistically, not
+    # bitwise, equivalent to the numpy one.
+    from .. import native
+
+    feat = native.fbank(
         sample["waveform"], num_mel_bins, frame_length, frame_shift, dither,
-        sample["sample_rate"], rng=rng)
+        sample["sample_rate"],
+        seed=int(rng.integers(2**63)) if (rng is not None and dither > 0) else 0)
+    if feat is None:
+        feat = compute_fbank_numpy(
+            sample["waveform"], num_mel_bins, frame_length, frame_shift, dither,
+            sample["sample_rate"], rng=rng)
+    sample["feat"] = feat
     return sample
 
 
