@@ -54,9 +54,8 @@ def main():
     n_frames = int(audio_seconds * 100)
     feats = np.random.default_rng(0).normal(size=(n_frames, 80)).astype(np.float32)
 
-    # warmup (compiles the segment program)
-    model.endless_encode_tokens(feats[: n_frames // 6], 64, 128, 128,
-                                total_batch_duration=600)
+    # warmup (compiles the segment-scan programs for this length class)
+    model.endless_encode_tokens(feats, 64, 128, 128, total_batch_duration=600)
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)

@@ -82,7 +82,20 @@ class ChunkFormerModel:
         self.label_mapping = None
         # force per-segment host sync in endless decode (A/B for pipelining)
         self.sync_segments = os.environ.get("CHUNKFORMER_SYNC_SEGMENTS", "0") == "1"
+        # fall back to the host-driven per-segment loop (A/B vs device scan)
+        self.host_segments = os.environ.get("CHUNKFORMER_HOST_SEGMENTS", "0") == "1"
         self._jit_cache: Dict = {}
+
+    def _pallas_ok(self, chunk_size: int) -> bool:
+        """Fused Pallas attention on accelerators when shapes meet Mosaic
+        tiling (2*head_dim lane-aligned to 128, chunk sublane-aligned); XLA
+        gather path otherwise and on CPU."""
+        if os.environ.get("CHUNKFORMER_NO_PALLAS", "0") == "1":
+            return False
+        if jax.devices()[0].platform in ("cpu",):
+            return False
+        cfg = self.config.encoder_conf
+        return (2 * cfg.head_dim) % 128 == 0 and chunk_size % 8 == 0
 
     # ------------------------------------------------------------------ loading
 
@@ -175,12 +188,14 @@ class ChunkFormerModel:
             return self._jit_cache[key]
         cfg = self.config.encoder_conf
         with_ctc = not self.is_transducer and not self.is_classification
+        use_pallas = self._pallas_ok(chunk_size)
 
         @partial(jax.jit, donate_argnums=(5, 6))
         def step(params, xs, chunk_idx, offsets, max_lens, att_cache, cnn_cache):
             out, new_att, new_cnn = encoder_parallel_chunk(
                 params["encoder"], cfg, xs.astype(self.dtype), chunk_idx, offsets,
-                max_lens, chunk_size, left, right, att_cache, cnn_cache, trunc)
+                max_lens, chunk_size, left, right, att_cache, cnn_cache, trunc,
+                use_pallas=use_pallas)
             tokens = ctc_argmax(params["ctc"], out) \
                 if with_ctc and "ctc" in params else out[..., 0]
             return out, tokens, new_att, new_cnn
@@ -258,7 +273,160 @@ class ChunkFormerModel:
                                        total_batch_duration, want_encoder=False)
         return np.concatenate(parts) if parts else np.zeros(0, np.int32)
 
+    def _endless_sizing(self, chunk_size: int, right: int, total_batch_duration: int):
+        """Segment sizing shared by both endless paths
+        (chunkformer_model.py:344-371)."""
+        cfg = self.config.encoder_conf
+        sub = cfg.subsampling_rate
+        c = chunk_size
+        max_frames = int(total_batch_duration // 0.01) // 2
+        multiply_n = max(max_frames // c // sub, 1)
+        trunc = c * multiply_n
+        r_prime = max(right, cfg.conv_lorder)
+        rel_right = (r_prime + max(c, r_prime) * (cfg.num_blocks - 1)) * sub
+        step_raw = trunc * sub
+        seg_raw = step_raw + 7 + rel_right
+        size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
+        capacity = (max(seg_raw, size) - size) // (sub * c) + 1
+        return trunc, rel_right, step_raw, seg_raw, capacity
+
+    def _endless_scan_fn(self, c: int, left: int, right: int, capacity: int,
+                         trunc: int, rel_right: int, n_seg: int, want_encoder: bool):
+        """Build (and cache) the jitted multi-segment scan program.
+
+        The whole endless-decode macro-segment loop runs as ONE device program:
+        a ``lax.scan`` over segment indices that gathers each segment's chunk
+        rows from the device-resident feature buffer (no per-segment host
+        packing or transfers), threads the attention/conv caches through the
+        carry, and emits per-segment CTC tokens (or encoder outputs) plus the
+        number of frames to keep. This is the TPU-native form of the
+        reference's Python segment loop (chunkformer_model.py:391-434)."""
+        key = ("scan", c, left, right, capacity, trunc, n_seg, want_encoder)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.config.encoder_conf
+        sub = cfg.subsampling_rate
+        step_raw = trunc * sub
+        seg_raw = step_raw + 7 + rel_right
+        context = chunk_ops.SUBSAMPLING_CONTEXT
+        with_ctc = not self.is_transducer and not self.is_classification
+        use_pallas = self._pallas_ok(c)
+
+        @partial(jax.jit, donate_argnums=(4, 5))
+        def run(params, feats, t_total, base, att_cache, cnn_cache, offset0):
+            def seg_step(carry, s):
+                att, cnn, offset = carry
+                abs_idx = base + s
+                start_raw = abs_idx * step_raw
+                # feats is this block's own buffer: local offset s*step_raw
+                xs = chunk_ops.device_pack_segment(feats, s * step_raw, c, sub,
+                                                   capacity)
+                x_len = jnp.clip(t_total - start_raw, 0, seg_raw)
+                max_len = 1 + (x_len - context) // sub
+                chunk_idx = jnp.arange(capacity, dtype=jnp.int32)
+                offsets = jnp.full((capacity,), offset, jnp.int32)
+                max_lens = jnp.full((capacity,), max_len, jnp.int32)
+                out, new_att, new_cnn = encoder_parallel_chunk(
+                    params["encoder"], cfg, xs.astype(self.dtype), chunk_idx,
+                    offsets, max_lens, c, left, right, att, cnn, trunc,
+                    use_pallas=use_pallas)
+                enc_len = chunk_ops.calc_length_jax(x_len)
+                # exit conditions of the host loop (chunkformer_model.py:391-434):
+                # is_last -> keep everything incl. lookahead; a segment after
+                # is_last (or past the audio) keeps nothing.
+                is_last = abs_idx * step_raw + rel_right >= t_total
+                was_done = (abs_idx > 0) & (
+                    (abs_idx - 1) * step_raw + rel_right >= t_total)
+                keep = jnp.where(is_last, enc_len, jnp.minimum(trunc, enc_len))
+                keep = jnp.where(was_done, 0, jnp.maximum(keep, 0))
+                if want_encoder:
+                    y = out.reshape(-1, out.shape[-1])
+                else:
+                    y = (ctc_argmax(params["ctc"], out)
+                         if with_ctc and "ctc" in params
+                         else out[..., 0]).reshape(-1)
+                return (new_att, new_cnn, offset + keep), (y, keep)
+
+            (att_cache, cnn_cache, offset), (ys, keeps) = jax.lax.scan(
+                seg_step, (att_cache, cnn_cache, offset0),
+                jnp.arange(n_seg, dtype=jnp.int32))
+            return ys, keeps, att_cache, cnn_cache, offset
+
+        self._jit_cache[key] = run
+        return run
+
     def _endless_segments(
+        self, feats: np.ndarray, chunk_size: int, left: int, right: int,
+        total_batch_duration: int, want_encoder: bool = False,
+    ):
+        """Macro-segment streaming: device scan (default) or host loop."""
+        if self.host_segments:
+            return self._endless_segments_host(feats, chunk_size, left, right,
+                                               total_batch_duration, want_encoder)
+        cfg = self.config.encoder_conf
+        sub = cfg.subsampling_rate
+        c = chunk_size
+        trunc, rel_right, step_raw, seg_raw, capacity = self._endless_sizing(
+            c, right, total_batch_duration)
+        size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
+        span = (capacity - 1) * (sub * c) + size
+
+        t_total = int(feats.shape[0])
+        # exact host-loop iteration count: break at is_last or range exhaustion
+        idx0 = max(0, -(-(t_total - rel_right) // step_raw))
+        n_seg_total = max(1, min(-(-t_total // step_raw), idx0 + 1))
+        # decompose into power-of-two blocks (1,2,4 then 8s): any audio length
+        # is served by at most 4 compiled scan programs with zero wasted
+        # segments; small blocks first so compute starts after a small upload
+        rem = n_seg_total % 8
+        blocks: List[int] = [b for b in (1, 2, 4) if rem & b]
+        blocks += [8] * (n_seg_total // 8)
+
+        # per-block feature buffers with static shapes, uploaded asynchronously
+        # up front so host->device transfer of block b+1 overlaps the device
+        # compute of block b (transfer is the bottleneck over slow links)
+        if self.dtype == jnp.bfloat16:
+            import ml_dtypes
+
+            host_dtype = ml_dtypes.bfloat16  # halve the transfer
+        else:
+            host_dtype = np.float32
+        feat_dim = feats.shape[1]
+        dev_bufs = []
+        base = 0
+        for block in blocks:
+            lo = base * step_raw
+            buf_len = (block - 1) * step_raw + span
+            sl = np.zeros((buf_len, feat_dim), host_dtype)
+            valid = feats[lo: lo + buf_len]
+            sl[: valid.shape[0]] = valid
+            dev_bufs.append(jax.device_put(sl))
+            base += block
+        t_total_dev = jnp.asarray(t_total, jnp.int32)
+
+        att_cache, cnn_cache = init_caches(cfg, left, dtype=self.dtype)
+        offset = jnp.zeros((), jnp.int32)
+        ys_parts, keeps_parts = [], []
+        base = 0
+        for block, feats_dev in zip(blocks, dev_bufs):
+            run = self._endless_scan_fn(c, left, right, capacity, trunc,
+                                        rel_right, block, want_encoder)
+            ys, keeps, att_cache, cnn_cache, offset = run(
+                self.params, feats_dev, t_total_dev,
+                jnp.asarray(base, jnp.int32), att_cache, cnn_cache, offset)
+            ys_parts.append(ys)
+            keeps_parts.append(keeps)
+            base += block
+        keeps_parts = [np.asarray(k) for k in keeps_parts]
+        if want_encoder:
+            return [np.asarray(ys[s], np.float32)[: keeps[s]]
+                    for ys, keeps in zip(ys_parts, keeps_parts)
+                    for s in range(ys.shape[0])]
+        return [np.asarray(ys[s])[: keeps[s]]
+                for ys, keeps in zip(ys_parts, keeps_parts)
+                for s in range(ys.shape[0])]
+
+    def _endless_segments_host(
         self, feats: np.ndarray, chunk_size: int, left: int, right: int,
         total_batch_duration: int, want_encoder: bool = False,
     ):

@@ -201,3 +201,32 @@ def reference_bounds_conv_mask(chunk_idx, offsets, max_lens, chunk_size, conv_lo
     p = jnp.arange(conv_lorder + chunk_size + conv_lorder)[None, :]
     mask = (lower <= p) & (p < upper)
     return mask[:, ::-1][:, None, :]
+
+
+def device_pack_segment(
+    feats: jnp.ndarray,       # [T_pad, feat] zero-padded device-resident buffer
+    start_raw: jnp.ndarray,   # [] int32 — raw frame index of the segment start
+    chunk_size: int,
+    subsampling: int = 8,
+    capacity: int = 1,
+    context: int = SUBSAMPLING_CONTEXT,
+) -> jnp.ndarray:
+    """Gather one macro-segment's chunk rows directly on device.
+
+    Device-side twin of ``pack_chunks`` for the single-utterance endless-decode
+    path (reference: encoder.py:553-604 unfold): row i covers raw frames
+    ``[start_raw + i*sub*c, start_raw + i*sub*c + size)`` of the feature
+    buffer. The buffer must be zero-padded past the audio end so tail rows
+    match the host packer's zero padding bit-for-bit.
+
+    Returns [capacity, size, feat].
+    """
+    import jax
+
+    size = (chunk_size - 1) * subsampling + context
+    step = subsampling * chunk_size
+    span = (capacity - 1) * step + size
+    seg = jax.lax.dynamic_slice(
+        feats, (start_raw, jnp.zeros((), start_raw.dtype)), (span, feats.shape[1]))
+    idx = np.arange(capacity)[:, None] * step + np.arange(size)[None, :]
+    return seg[idx]

@@ -24,9 +24,9 @@ def test_endless_decode_many_segments():
     from chunkformer_tpu.ops.chunk import calc_length
 
     assert tokens.shape[0] == calc_length(60_000)
-    # exactly one compiled program for the segment loop
-    pc_keys = [k for k in model._jit_cache if k[0] == "pc"]
-    assert len(pc_keys) == 1
+    # the segment loop compiles at most the power-of-two block set {1,2,4,8}
+    scan_keys = [k for k in model._jit_cache if k[0] == "scan"]
+    assert 1 <= len(scan_keys) <= 4, scan_keys
 
     # and the segmented result equals the single-shot masked batch
     single = model._decode_feature_batch([feats], c, L, R)
