@@ -44,3 +44,36 @@ def test_endless_tokens_match_bigger_budget():
     assert a.shape == b.shape
     # tolerance: the inherited-cache approximation may flip rare argmax ties
     assert (a != b).mean() < 0.02
+
+
+def test_scan_path_matches_host_loop():
+    """The fused device-scan segment loop must be token-exact vs the
+    host-driven per-segment loop, across segment-boundary edge cases."""
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(2), cfg)
+    model = ChunkFormerModel(cfg, params)
+    c, L, R = 8, 16, 16
+    dur = 4
+    trunc, rel_right, step_raw, seg_raw, capacity = model._endless_sizing(c, R, dur)
+    rng = np.random.default_rng(3)
+    for t in (37, step_raw, step_raw + 1, step_raw + rel_right + 1,
+              3 * step_raw + 11, 9 * step_raw + 100):
+        feats = rng.normal(size=(t, 80)).astype(np.float32)
+        model.host_segments = True
+        ref = model.endless_encode_tokens(feats, c, L, R, dur)
+        model.host_segments = False
+        got = model.endless_encode_tokens(feats, c, L, R, dur)
+        np.testing.assert_array_equal(ref, got, err_msg=f"T={t}")
+
+
+def test_scan_path_encoder_outputs_match():
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(4), cfg)
+    model = ChunkFormerModel(cfg, params)
+    feats = np.random.default_rng(5).normal(size=(1200, 80)).astype(np.float32)
+    model.host_segments = True
+    a = np.concatenate(model._endless_segments(feats, 8, 16, 16, 4, want_encoder=True))
+    model.host_segments = False
+    b = np.concatenate(model._endless_segments(feats, 8, 16, 16, 4, want_encoder=True))
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
