@@ -83,6 +83,10 @@ def load() -> Optional[ctypes.CDLL]:
         lib.ck_resample_linear.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_double,
             ctypes.c_double, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
+        lib.ck_quantize_int8.restype = ctypes.c_float
+        lib.ck_quantize_int8.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int8)]
         if lib.ck_abi_version() != 1:
             return None
         _lib = lib
@@ -139,3 +143,22 @@ def resample_linear(x: np.ndarray, in_rate: float,
     if rc != n_out:
         return None
     return out
+
+
+def quantize_int8(x: np.ndarray, n_threads: int = 0):
+    """Symmetric int8 quantization (scale = max|x|/127, round-half-even).
+
+    Returns (int8 array, scale) or None if the native library is unavailable
+    (callers fall back to the numpy twin in api.py).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    xin = np.ascontiguousarray(x, dtype=np.float32)
+    out = np.empty(xin.shape, dtype=np.int8)
+    scale = lib.ck_quantize_int8(
+        xin.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), xin.size,
+        n_threads, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+    if scale <= 0:
+        return None
+    return out, float(scale)

@@ -382,6 +382,54 @@ int64_t ck_resample_linear(const float* x, int64_t n_in, double in_rate,
   return n_out;
 }
 
+// Symmetric int8 quantization for feature transfer: scale = max|x|/127,
+// out[i] = nearbyint(x[i]/scale) (round-half-even, matching numpy). Two
+// multithreaded passes (max-abs, quantize); returns the scale used.
+// Feeds the host->device upload path of endless decode (api.py), where the
+// link — not the chip — is the long-form decode bottleneck.
+float ck_quantize_int8(const float* x, int64_t n, int n_threads, int8_t* out) {
+  if (!x || !out || n < 0) return -1.0f;
+  if (n == 0) return 1.0f;
+  int hw = static_cast<int>(std::thread::hardware_concurrency());
+  if (n_threads <= 0) n_threads = hw > 0 ? hw : 1;
+  n_threads = static_cast<int>(
+      std::min<int64_t>(n_threads, std::max<int64_t>(1, n / (1 << 16))));
+
+  auto block = [&](int t) -> std::pair<int64_t, int64_t> {
+    int64_t lo = n * t / n_threads, hi = n * (t + 1) / n_threads;
+    return {lo, hi};
+  };
+  std::vector<float> maxes(n_threads, 0.0f);
+  {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < n_threads; ++t)
+      ws.emplace_back([&, t] {
+        auto [lo, hi] = block(t);
+        float m = 0.0f;
+        for (int64_t i = lo; i < hi; ++i) m = std::max(m, std::fabs(x[i]));
+        maxes[t] = m;
+      });
+    for (auto& w : ws) w.join();
+  }
+  float amax = *std::max_element(maxes.begin(), maxes.end());
+  float scale = std::max(amax, 1e-6f) / 127.0f;
+  float inv = 1.0f / scale;
+  {
+    std::vector<std::thread> ws;
+    for (int t = 0; t < n_threads; ++t)
+      ws.emplace_back([&, t] {
+        auto [lo, hi] = block(t);
+        for (int64_t i = lo; i < hi; ++i) {
+          float v = std::nearbyint(x[i] * inv);
+          v = std::min(127.0f, std::max(-127.0f, v));
+          out[i] = static_cast<int8_t>(v);
+        }
+      });
+    for (auto& w : ws) w.join();
+  }
+  return scale;
+}
+
 int ck_abi_version() { return 1; }
 
 }  // extern "C"

@@ -76,3 +76,52 @@ def test_native_resample_linear():
     assert y.shape == (8000,)
     # downsampled sine should track the original at matching positions
     np.testing.assert_allclose(y[10:-10], x[20:-20:2], atol=1e-2)
+
+
+def test_quantize_int8_matches_numpy():
+    from chunkformer_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    x = np.random.default_rng(0).normal(size=(100_000,)).astype(np.float32) * 17
+    q = native.quantize_int8(x)
+    assert q is not None
+    out, scale = q
+    ref_scale = max(float(np.abs(x).max()), 1e-6) / 127.0
+    assert abs(scale - ref_scale) / ref_scale < 1e-5
+    ref = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    # float32-vs-float64 scale rounding may flip a ulp on exact halves
+    assert (out != ref).mean() < 1e-4
+    assert np.abs(out.astype(np.int32) - ref.astype(np.int32)).max() <= 1
+
+
+def test_int8_transfer_tokens_stable():
+    """int8 feature transfer must not change CTC tokens on realistic inputs."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from chunkformer_tpu.api import ChunkFormerModel
+    from chunkformer_tpu.config import ChunkFormerConfig
+    from chunkformer_tpu.models.asr import init_asr_model
+    from tests.helpers import TINY_MODEL_YAML
+
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    model = ChunkFormerModel(cfg, params, dtype=jnp.bfloat16)
+    # log-mel-like magnitudes (offset+scale), not N(0,1)
+    feats = (np.random.default_rng(1).normal(size=(2000, 80)) * 4 + 12).astype(np.float32)
+    try:
+        os.environ["CHUNKFORMER_TRANSFER"] = "f32"
+        a = model.endless_encode_tokens(feats, 8, 16, 16, 4)
+        os.environ["CHUNKFORMER_TRANSFER"] = "int8"
+        b = model.endless_encode_tokens(feats, 8, 16, 16, 4)
+    finally:
+        del os.environ["CHUNKFORMER_TRANSFER"]
+    assert a.shape == b.shape
+    # tiny random models have near-tie logits, so a few argmax flips are
+    # expected; this guards the scale/dequant wiring, not quantization quality
+    assert (a != b).mean() < 0.05
