@@ -105,6 +105,13 @@ class ModelConfig:
     # transducer.py:504-542)
     use_pruned_loss: bool = False
     prune_range: int = 5
+    # k2-style smoothed simple loss + posterior-pruned loss with warmup mixing
+    # (reference: transducer/transducer.py:44-47,74-79,487-551)
+    enable_k2: bool = False
+    lm_only_scale: float = 0.25
+    am_only_scale: float = 0.0
+    delay_penalty: float = 0.0
+    warmup_steps: int = 25000
 
 
 @dataclass
@@ -181,7 +188,7 @@ class ChunkFormerConfig:
             pred_conf = PredictorConfig(**_filter_kwargs(PredictorConfig, pc))
         mc_raw = dict(d.get("model_conf", {}) or {})
         # reference schema: k2 pruned loss flag (transducer.py:504-542)
-        if mc_raw.pop("enable_k2", False):
+        if mc_raw.get("enable_k2", False):
             mc_raw.setdefault("use_pruned_loss", True)
         # reference schema: classification tasks live under model_conf
         # (examples/classification/conf/multi_task.yaml)

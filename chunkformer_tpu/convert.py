@@ -225,6 +225,10 @@ def convert_checkpoint(sd: Dict[str, Any], cfg: ChunkFormerConfig) -> Dict[str, 
     if any(k.startswith("predictor.") for k in sd):
         params["predictor"] = convert_predictor(sd, cfg)
         params["joint"] = convert_joint(sd)
+        # k2 simple-joint projections (transducer/transducer.py:80-84)
+        if "simple_am_proj.weight" in sd:
+            params["simple_am_proj"] = _linear(sd, "simple_am_proj")
+            params["simple_lm_proj"] = _linear(sd, "simple_lm_proj")
     if any(k.startswith("classification_heads.") for k in sd):
         params["heads"] = convert_classification_heads(sd)
     return params

@@ -121,6 +121,39 @@ def params_to_torch_state_dict(params: Dict[str, Any],
                 _set_linear(sd, f"{lp}feed_forward.w_2", layer["ff"]["w2"])
                 for norm in ("norm1", "norm2", "norm3"):
                     _set_norm(sd, f"{lp}{norm}", layer[norm])
+
+    if "predictor" in params:
+        # RNN predictor (reference transducer/predictor.py:69-207)
+        pp = params["predictor"]
+        sd["predictor.embed.weight"] = _np(pp["embed"]["w"])
+        if "projection" in pp:
+            _set_linear(sd, "predictor.projection", pp["projection"])
+        for i, lp_ in enumerate(pp.get("rnn", [])):
+            for name in ("weight_ih", "weight_hh", "bias_ih", "bias_hh"):
+                key = "w_" + name[-2:] if name.startswith("weight") else "b_" + name[-2:]
+                sd[f"predictor.rnn.{name}_l{i}"] = _np(lp_[key])
+
+    if "joint" in params:
+        jp = params["joint"]
+        if "enc_ffn" in jp:
+            _set_linear(sd, "joint.enc_ffn", jp["enc_ffn"])
+            _set_linear(sd, "joint.pred_ffn", jp["pred_ffn"])
+        if "post_ffn" in jp:
+            _set_linear(sd, "joint.post_ffn", jp["post_ffn"])
+        if "ffn_out" in jp:
+            _set_linear(sd, "joint.ffn_out", jp["ffn_out"])
+        if "blank_pred" in jp:
+            _set_linear(sd, "joint.blank_pred.2", jp["blank_pred"])
+            _set_linear(sd, "joint.token_pred.2", jp["token_pred"])
+
+    if "simple_am_proj" in params:
+        # k2 simple-joint projections (transducer/transducer.py:80-84)
+        _set_linear(sd, "simple_am_proj", params["simple_am_proj"])
+        _set_linear(sd, "simple_lm_proj", params["simple_lm_proj"])
+
+    if "heads" in params:
+        for task, head in params["heads"].items():
+            _set_linear(sd, f"classification_heads.{task}.linear", head["linear"])
     return sd
 
 

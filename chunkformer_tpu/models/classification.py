@@ -70,7 +70,8 @@ def classify_forward(params: Params, cfg: ChunkFormerConfig, feats: jnp.ndarray,
 def classification_loss(params: Params, cfg: ChunkFormerConfig, feats, feats_lens,
                         labels: Dict[str, jnp.ndarray], chunk_size: int = 0,
                         left_context_size: int = 0, right_context_size: int = 0,
-                        train: bool = True, rng=None) -> Dict[str, jnp.ndarray]:
+                        train: bool = True, rng=None,
+                        step=0) -> Dict[str, jnp.ndarray]:
     """Per-task label-smoothed CE + accuracy (classification_model.py:102-171)."""
     lsm = cfg.model_conf.lsm_weight
     logits = classify_forward(params, cfg, feats, feats_lens, chunk_size,

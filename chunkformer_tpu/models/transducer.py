@@ -294,7 +294,7 @@ def init_transducer(rng, cfg: ChunkFormerConfig, cmvn: Optional[tuple] = None) -
     from ..models.asr import init_ctc_head
     from ..nn.encoder import init_encoder
 
-    ks = jax.random.split(rng, 5)
+    ks = jax.random.split(rng, 7)
     assert cfg.predictor_conf is not None and cfg.joint_conf is not None
     ptype = cfg.predictor_conf.predictor_type
     if ptype == "embedding":
@@ -310,6 +310,15 @@ def init_transducer(rng, cfg: ChunkFormerConfig, cmvn: Optional[tuple] = None) -
     }
     if cfg.model_conf.ctc_weight > 0:
         params["ctc"] = init_ctc_head(ks[3], cfg.encoder_conf.output_size, cfg.vocab_size)
+    if cfg.model_conf.enable_k2:
+        # simple-joint projections for the smoothed/pruned loss
+        # (reference: transducer/transducer.py:80-84)
+        from ..nn.layers import kaiming_linear_init
+
+        params["simple_am_proj"] = kaiming_linear_init(
+            ks[5], cfg.encoder_conf.output_size, cfg.vocab_size)
+        params["simple_lm_proj"] = kaiming_linear_init(
+            ks[6], cfg.predictor_conf.output_size, cfg.vocab_size)
     if cfg.decoder:
         from ..nn.decoder import init_decoder
 

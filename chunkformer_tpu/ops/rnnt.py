@@ -28,29 +28,18 @@ def _logadd(a, b):
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
 
 
-@functools.partial(jax.jit, static_argnames=("blank",))
-def rnnt_loss(
-    log_probs: jnp.ndarray,       # [B, T, U+1, V] log-softmax over vocab
-    targets: jnp.ndarray,         # [B, U] label ids (no blanks)
+def rnnt_arc_loglik(
+    label_lp: jnp.ndarray,        # [B, T, U+1] log-prob of emitting target u at (t, u)
+    blank_lp: jnp.ndarray,        # [B, T, U+1] log-prob of blank at (t, u)
     input_lengths: jnp.ndarray,   # [B]
     target_lengths: jnp.ndarray,  # [B]
-    blank: int = 0,
 ) -> jnp.ndarray:
-    """Per-utterance RNN-T negative log-likelihood [B].
+    """Log-likelihood [B] of the RNN-T lattice given per-arc log-probs.
 
-    Matches torchaudio.functional.rnnt_loss(reduction='none').
-    """
-    b, t, u1, _ = log_probs.shape
-    u = u1 - 1
-    assert targets.shape[1] == u, (targets.shape, u)
-
-    blank_lp = log_probs[..., blank]                                  # [B, T, U+1]
-    tgt = jnp.where(jnp.arange(u)[None, :] < target_lengths[:, None], targets, 0)
-    label_lp = jnp.take_along_axis(
-        log_probs[:, :, :u, :],
-        tgt[:, None, :, None].astype(jnp.int32).repeat(t, 1), axis=3)[..., 0]  # [B, T, U]
-    label_lp = jnp.pad(label_lp, ((0, 0), (0, 0), (0, 1)), constant_values=NEG_INF)
-
+    The shared forward recursion behind `rnnt_loss` (full [B,T,U+1,V] joint)
+    and `rnnt_loss_smoothed` (factorized am+lm joint). label_lp[:, :, U] must
+    be NEG_INF (no label transition past the last target)."""
+    b, t, u1 = blank_lp.shape
     t_idx = jnp.arange(t)[None, :]                                    # [1, T]
 
     def gather_du(x, d):
@@ -84,8 +73,179 @@ def rnnt_loss(
     t_end = input_lengths - 1
     u_end = target_lengths
     a_end = diags[t_end + u_end, jnp.arange(b), t_end]
-    loglik = a_end + blank_lp[jnp.arange(b), t_end, u_end]
-    return -loglik
+    return a_end + blank_lp[jnp.arange(b), t_end, u_end]
+
+
+@functools.partial(jax.jit, static_argnames=("blank",))
+def rnnt_loss(
+    log_probs: jnp.ndarray,       # [B, T, U+1, V] log-softmax over vocab
+    targets: jnp.ndarray,         # [B, U] label ids (no blanks)
+    input_lengths: jnp.ndarray,   # [B]
+    target_lengths: jnp.ndarray,  # [B]
+    blank: int = 0,
+) -> jnp.ndarray:
+    """Per-utterance RNN-T negative log-likelihood [B].
+
+    Matches torchaudio.functional.rnnt_loss(reduction='none').
+    """
+    b, t, u1, _ = log_probs.shape
+    u = u1 - 1
+    assert targets.shape[1] == u, (targets.shape, u)
+
+    blank_lp = log_probs[..., blank]                                  # [B, T, U+1]
+    tgt = jnp.where(jnp.arange(u)[None, :] < target_lengths[:, None], targets, 0)
+    label_lp = jnp.take_along_axis(
+        log_probs[:, :, :u, :],
+        tgt[:, None, :, None].astype(jnp.int32).repeat(t, 1), axis=3)[..., 0]  # [B, T, U]
+    label_lp = jnp.pad(label_lp, ((0, 0), (0, 0), (0, 1)), constant_values=NEG_INF)
+    return -rnnt_arc_loglik(label_lp, blank_lp, input_lengths, target_lengths)
+
+
+def rnnt_smoothed_arcs(
+    am: jnp.ndarray,              # [B, T, V] simple_am_proj(encoder_out), unnormalized
+    lm: jnp.ndarray,              # [B, U+1, V] simple_lm_proj(predictor_out), unnormalized
+    targets: jnp.ndarray,         # [B, U]
+    input_lengths: jnp.ndarray,   # [B]
+    target_lengths: jnp.ndarray,  # [B]
+    blank: int = 0,
+    lm_only_scale: float = 0.25,
+    am_only_scale: float = 0.0,
+    delay_penalty: float = 0.0,
+):
+    """Per-arc log-probs of the k2-style smoothed *simple* joint.
+
+    TPU-native equivalent of `k2.rnnt_loss_smoothed` (reference:
+    transducer/transducer.py:504-517): the simple joint is the additive
+    combination am[t] + lm[u], and its [B,T,U+1] normalizer is computed as one
+    MXU matmul, log(exp(am) @ exp(lm)^T), instead of materializing the
+    [B,T,U+1,V] joint. The arc distribution is smoothed in probability space
+    with the lm-only and am-only unigram distributions:
+
+        p = (1 - l - a) * p_joint + l * p_lm + a * p_am
+
+    which regularizes the predictor (lm) toward a standalone LM. Returns
+    (label_lp, blank_lp), each [B, T, U+1], ready for `rnnt_arc_loglik`.
+    `delay_penalty` adds penalty * (mid_frame - t) to label arcs so late
+    emissions cost (k2's delay-penalized loss, transducer.py:487-489,514)."""
+    am = am.astype(jnp.float32)
+    lm = lm.astype(jnp.float32)
+    b, t, v = am.shape
+    u1 = lm.shape[1]
+    u = u1 - 1
+
+    tgt = jnp.where(jnp.arange(u)[None, :] < target_lengths[:, None], targets, 0)
+    tgt1 = jnp.pad(tgt, ((0, 0), (0, 1)))                             # [B, U+1]
+    onehot = jax.nn.one_hot(tgt1, v, dtype=jnp.float32)               # [B, U+1, V]
+
+    # joint normalizer Z[b,t,u] = logsumexp_v(am + lm): a [T,V]x[V,U+1] matmul
+    am_max = jax.lax.stop_gradient(jnp.max(am, axis=-1, keepdims=True))
+    lm_max = jax.lax.stop_gradient(jnp.max(lm, axis=-1, keepdims=True))
+    z = jnp.log(jnp.einsum("btv,buv->btu", jnp.exp(am - am_max),
+                           jnp.exp(lm - lm_max)) + 1e-37)
+    z = z + am_max + lm_max[:, None, :, 0]                            # [B, T, U+1]
+
+    am_sym = jnp.einsum("btv,buv->btu", am, onehot)                   # am[b,t,tgt[u]]
+    lm_sym = jnp.sum(lm * onehot, axis=-1)                            # lm[b,u,tgt[u]]
+    joint_label = am_sym + lm_sym[:, None, :] - z
+    joint_blank = am[:, :, blank][:, :, None] + lm[:, None, :, blank] - z
+
+    parts_label = [joint_label]
+    parts_blank = [joint_blank]
+    weights = [1.0 - lm_only_scale - am_only_scale]
+    if lm_only_scale > 0.0:
+        lm_logp = jax.nn.log_softmax(lm, axis=-1)
+        parts_label.append(jnp.broadcast_to(
+            jnp.sum(lm_logp * onehot, axis=-1)[:, None, :], joint_label.shape))
+        parts_blank.append(jnp.broadcast_to(
+            lm_logp[:, None, :, blank], joint_blank.shape))
+        weights.append(lm_only_scale)
+    if am_only_scale > 0.0:
+        am_logp = jax.nn.log_softmax(am, axis=-1)
+        parts_label.append(jnp.einsum("btv,buv->btu", am_logp, onehot))
+        parts_blank.append(jnp.broadcast_to(
+            am_logp[:, :, blank][:, :, None], joint_blank.shape))
+        weights.append(am_only_scale)
+
+    logw = jnp.log(jnp.asarray(weights, jnp.float32))
+    label_lp = jax.nn.logsumexp(
+        jnp.stack(parts_label, 0) + logw[:, None, None, None], axis=0)
+    blank_lp = jax.nn.logsumexp(
+        jnp.stack(parts_blank, 0) + logw[:, None, None, None], axis=0)
+
+    mid = (input_lengths[:, None, None].astype(jnp.float32) - 1.0) / 2.0
+    label_lp = label_lp + delay_penalty * (mid - jnp.arange(t)[None, :, None])
+    # no label transition at/after each utterance's target length
+    label_lp = jnp.where(jnp.arange(u1)[None, None, :] < target_lengths[:, None, None],
+                         label_lp, NEG_INF)
+    return label_lp, blank_lp
+
+
+def rnnt_loss_smoothed(am, lm, targets, input_lengths, target_lengths,
+                       blank: int = 0, lm_only_scale: float = 0.25,
+                       am_only_scale: float = 0.0,
+                       delay_penalty: float = 0.0) -> jnp.ndarray:
+    """Per-utterance smoothed simple-joint RNN-T loss [B]
+    (k2.rnnt_loss_smoothed equivalent, transducer/transducer.py:504-517)."""
+    label_lp, blank_lp = rnnt_smoothed_arcs(
+        am, lm, targets, input_lengths, target_lengths, blank,
+        lm_only_scale, am_only_scale, delay_penalty)
+    return -rnnt_arc_loglik(label_lp, blank_lp, input_lengths, target_lengths)
+
+
+def rnnt_prune_bounds(label_lp: jnp.ndarray, blank_lp: jnp.ndarray,
+                      input_lengths: jnp.ndarray, target_lengths: jnp.ndarray,
+                      s_range: int) -> jnp.ndarray:
+    """Posterior-based pruning bounds [B, T] from simple-joint arc log-probs.
+
+    Equivalent of `k2.get_rnnt_prune_ranges` (reference:
+    transducer/transducer.py:518-523): k2 ranks label positions by px_grad,
+    the gradient of the simple loss w.r.t. the label arcs — which IS the arc
+    occupancy posterior. Here that gradient comes straight from `jax.grad` of
+    the lattice log-likelihood. For each frame the s_range-slot window with
+    the largest posterior mass wins; two fix-up scans make the bounds
+    non-decreasing with per-frame increments < s_range (so the banded
+    recursion in `rnnt_loss_pruned` never strands probability mass) and
+    reachable at both lattice corners. Everything is stop-gradient."""
+    label_lp = jax.lax.stop_gradient(label_lp)
+    blank_lp = jax.lax.stop_gradient(blank_lp)
+    b, t, u1 = label_lp.shape
+
+    occ = jax.grad(lambda l: jnp.sum(rnnt_arc_loglik(
+        l, blank_lp, input_lengths, target_lengths)))(label_lp)       # [B, T, U+1]
+
+    # windowed posterior mass over label slots; pad so u1 >= s_range
+    pad = max(0, s_range - u1)
+    occ = jnp.pad(occ, ((0, 0), (0, 0), (0, pad)))
+    cs = jnp.cumsum(occ, axis=2)
+    cs = jnp.pad(cs, ((0, 0), (0, 0), (1, 0)))
+    win = cs[:, :, s_range:] - cs[:, :, :-s_range]                    # [B, T, starts]
+    u0 = jnp.argmax(win, axis=2).astype(jnp.int32)                    # [B, T]
+
+    hi = jnp.maximum(target_lengths[:, None] + 1 - s_range, 0)
+    u0 = jnp.clip(u0, 0, hi)
+    # forward: non-decreasing, increments <= s_range - 1, starts at u=0
+    def fwd(carry, x):
+        nb = jnp.clip(x, carry, carry + s_range - 1)
+        return nb, nb
+
+    _, fb = jax.lax.scan(fwd, jnp.zeros((b,), jnp.int32),
+                         u0.T.at[0].set(0))
+    # backward: the last valid frame's band must contain u = target_len
+    t_end = jnp.clip(input_lengths - 1, 0, t - 1)
+    end_lo = jnp.maximum(target_lengths + 1 - s_range, 0)
+    fb = fb.at[t_end, jnp.arange(b)].max(end_lo)
+
+    def bwd(carry, x):
+        nb = jnp.maximum(x, carry - (s_range - 1))
+        return nb, nb
+
+    _, bb = jax.lax.scan(bwd, fb[-1], fb, reverse=True)
+    bounds = jnp.clip(bb.T, 0, jnp.maximum(hi, 0))
+    # padding frames (t >= input_length) inherit the last valid frame's bound
+    end_val = bounds[jnp.arange(b), t_end]
+    bounds = jnp.where(jnp.arange(t)[None, :] < input_lengths[:, None],
+                       bounds, end_val[:, None])
+    return bounds
 
 
 def rnnt_band_bounds(input_lengths: jnp.ndarray, target_lengths: jnp.ndarray,
@@ -118,6 +278,8 @@ def rnnt_loss_pruned(
     joint_post,                   # (params, [B, T, S, J]) -> [B, T, S, V] logits
     blank: int = 0,
     s_range: int = 5,
+    bounds: jnp.ndarray = None,   # [B, T] band starts; default: linear diagonal
+    delay_penalty: float = 0.0,
 ) -> jnp.ndarray:
     """Banded RNN-T loss: O(T * s_range) lattice instead of O(T * U).
 
@@ -131,7 +293,9 @@ def rnnt_loss_pruned(
     u1 = pred_proj.shape[1]
     u = u1 - 1
 
-    bounds = rnnt_band_bounds(input_lengths, target_lengths, t, s_range)  # [B, T]
+    if bounds is None:
+        bounds = rnnt_band_bounds(input_lengths, target_lengths, t, s_range)  # [B, T]
+    bounds = jax.lax.stop_gradient(bounds)
 
     # gather band of predictor states: [B, T, S, J]
     band_idx = bounds[:, :, None] + jnp.arange(s_range)[None, None, :]
@@ -152,6 +316,8 @@ def rnnt_loss_pruned(
     # label transition from band slot s is invalid at/after the target length
     label_valid = band_idx < target_lengths[:, None, None]
     label_lp = jnp.where(label_valid, label_lp, NEG_INF)
+    mid = (input_lengths[:, None, None].astype(jnp.float32) - 1.0) / 2.0
+    label_lp = label_lp + delay_penalty * (mid - jnp.arange(t)[None, :, None])
 
     s_ar = jnp.arange(s_range)
 

@@ -56,6 +56,7 @@ def asr_model_loss(
     right_context_size: int = 0,
     train: bool = True,
     rng: Optional[jax.Array] = None,
+    step: jnp.ndarray = 0,  # unused; uniform loss_fn signature
 ) -> Dict[str, jnp.ndarray]:
     """Hybrid CTC/AED loss (reference asr_model.py:77-171)."""
     mc = cfg.model_conf
@@ -113,6 +114,7 @@ def transducer_model_loss(
     right_context_size: int = 0,
     train: bool = True,
     rng: Optional[jax.Array] = None,
+    step: jnp.ndarray = 0,
 ) -> Dict[str, jnp.ndarray]:
     """RNN-T + optional CTC + optional AED hybrid loss
     (reference: transducer/transducer.py:98-208,450-478):
@@ -137,7 +139,47 @@ def transducer_model_loss(
         [jnp.full((targets.shape[0], 1), blank, targets.dtype), tgt], axis=1)
     pred_out = predictor_forward(params["predictor"], cfg.predictor_conf,
                                  pred_in, train=train, rng=rngs[1])
-    if mc.use_pruned_loss and cfg.joint_conf.prejoin_linear \
+    if mc.enable_k2 and "simple_am_proj" in params:
+        # k2-equivalent path (reference transducer.py:480-551): smoothed
+        # simple-joint loss + posterior-pruned full-joint loss, mixed with
+        # warmup schedules driven by the (traced) optimizer step.
+        from ..models.transducer import ACTIVATIONS as _ACT
+        from ..nn.layers import linear as _linear
+        from ..ops.rnnt import (rnnt_arc_loglik, rnnt_loss_pruned,
+                                rnnt_prune_bounds, rnnt_smoothed_arcs)
+
+        jc = cfg.joint_conf
+        step_f = jnp.asarray(step, jnp.float32)
+        warm = float(max(mc.warmup_steps, 1))
+        # delay penalty off for the first 2*warmup steps (transducer.py:487-489)
+        delay = mc.delay_penalty * (step_f >= 2.0 * warm).astype(jnp.float32)
+
+        am = _linear(params["simple_am_proj"], enc_out)
+        lm = _linear(params["simple_lm_proj"], pred_out)
+        label_lp, blank_lp = rnnt_smoothed_arcs(
+            am, lm, tgt, enc_lens, target_lens, blank,
+            mc.lm_only_scale, mc.am_only_scale, delay)
+        simple_losses = -rnnt_arc_loglik(label_lp, blank_lp, enc_lens, target_lens)
+        bounds = rnnt_prune_bounds(label_lp, blank_lp, enc_lens, target_lens,
+                                   mc.prune_range)
+
+        enc_proj = _linear(params["joint"]["enc_ffn"], enc_out)
+        pred_proj = _linear(params["joint"]["pred_ffn"], pred_out)
+        act = _ACT[jc.activation]
+
+        def joint_post(jp, x):
+            return _linear(jp["ffn_out"], act(x))
+
+        pruned_losses = rnnt_loss_pruned(
+            enc_proj, pred_proj, params["joint"], tgt, enc_lens, target_lens,
+            joint_post, blank, mc.prune_range, bounds=bounds,
+            delay_penalty=delay)
+        # warmup mixing (transducer.py:544-550)
+        frac = jnp.minimum(step_f / warm, 1.0)
+        simple_scale = 1.0 - frac * 0.5
+        pruned_scale = 0.1 + 0.9 * frac
+        losses = simple_scale * simple_losses + pruned_scale * pruned_losses
+    elif mc.use_pruned_loss and cfg.joint_conf.prejoin_linear \
             and not cfg.joint_conf.hat_joint:
         # banded loss: evaluate the joint only on a [B, T, s_range] band
         from ..models.transducer import ACTIVATIONS as _ACT

@@ -65,9 +65,9 @@ def make_train_step(
     """
     c, left, right = chunk_cfg
 
-    def micro_loss(params, feats, feats_lens, targets, target_lens, rng):
+    def micro_loss(params, feats, feats_lens, targets, target_lens, rng, step):
         metrics = loss_fn(params, cfg, feats, feats_lens, targets, target_lens,
-                          c, left, right, train=True, rng=rng)
+                          c, left, right, train=True, rng=rng, step=step)
         return metrics["loss"], metrics
 
     grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
@@ -75,7 +75,8 @@ def make_train_step(
     def train_step(state: TrainState, feats, feats_lens, targets, target_lens, rng):
         if accum_steps == 1:
             (_, metrics), grads = grad_fn(
-                state.params, feats, feats_lens, targets, target_lens, rng)
+                state.params, feats, feats_lens, targets, target_lens, rng,
+                state.step)
         else:
             a = accum_steps
             feats = feats.reshape(a, -1, *feats.shape[1:])
@@ -87,14 +88,15 @@ def make_train_step(
             def micro(carry, xs):
                 grads_acc, metrics_acc = carry
                 f, fl, t, tl, r = xs
-                (_, metrics), grads = grad_fn(state.params, f, fl, t, tl, r)
+                (_, metrics), grads = grad_fn(state.params, f, fl, t, tl, r,
+                                              state.step)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
                 return (grads_acc, metrics_acc), None
 
             # first micro-batch establishes the grads/metrics structure
             (_, m0), g0 = grad_fn(state.params, feats[0], feats_lens[0], targets[0],
-                                  target_lens[0], rngs[0])
+                                  target_lens[0], rngs[0], state.step)
             (grads, metrics), _ = jax.lax.scan(
                 micro, (g0, m0),
                 (feats[1:], feats_lens[1:], targets[1:], target_lens[1:], rngs[1:]))
