@@ -97,9 +97,13 @@ def make_reference_state_dict(cfg, rng=None):
 
     if cfg.decoder:
         dec = cfg.decoder_conf
-        sides = [("left_decoder.", dec.num_blocks)]
         if dec.decoder_type == "bitransformer":
-            sides.append(("right_decoder.", dec.r_num_blocks))
+            sides = [("left_decoder.", dec.num_blocks),
+                     ("right_decoder.", dec.r_num_blocks)]
+        else:
+            # plain transformer: keys live directly under `decoder.`
+            # (reference: utils/init_model.py:96, modules/decoder.py:35)
+            sides = [("", dec.num_blocks)]
         for side, nb in sides:
             sp = f"decoder.{side}"
             sd[f"{sp}embed.0.weight"] = t(v, d)

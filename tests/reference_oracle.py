@@ -1,0 +1,97 @@
+"""Load the reference torch implementation as a numerical oracle.
+
+The reference package (`/root/reference/chunkformer`) top-level __init__ pulls
+in jiwer / torchaudio / pydub, none of which are installed here. The core
+model modules (modules/, transducer/, utils/) only need torch, so we install a
+stub package whose ``__path__`` points at the read-only reference checkout —
+submodule imports resolve against the real source files while the heavyweight
+``chunkformer/__init__.py`` (reference: chunkformer/__init__.py:12) is never
+executed. ``torchaudio`` is stubbed with raising placeholders because
+``transducer/transducer.py:4`` imports it at module scope for rnnt_loss; no
+parity test calls into it.
+
+This makes every parity test in test_reference_parity.py a genuine
+cross-framework check: identical weights through the actual reference torch
+modules vs our JAX implementation.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _unavailable(*args, **kwargs):
+    raise NotImplementedError("torchaudio is stubbed out for reference parity tests")
+
+
+def load_reference():
+    """Install the stub package and return the importable ``chunkformer`` pkg."""
+    existing = sys.modules.get("chunkformer")
+    if existing is not None and getattr(existing, "_parity_stub", False):
+        return existing
+
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        ta.__path__ = []  # mark as package
+        fn = types.ModuleType("torchaudio.functional")
+        fn.rnnt_loss = _unavailable
+        fn.forced_align = _unavailable
+        comp = types.ModuleType("torchaudio.compliance")
+        comp.__path__ = []
+        kaldi = types.ModuleType("torchaudio.compliance.kaldi")
+        kaldi.fbank = _unavailable
+        ta.functional = fn
+        ta.compliance = comp
+        comp.kaldi = kaldi
+        sys.modules["torchaudio"] = ta
+        sys.modules["torchaudio.functional"] = fn
+        sys.modules["torchaudio.compliance"] = comp
+        sys.modules["torchaudio.compliance.kaldi"] = kaldi
+
+    pkg = types.ModuleType("chunkformer")
+    pkg.__path__ = [REFERENCE_ROOT + "/chunkformer"]
+    pkg._parity_stub = True
+    sys.modules["chunkformer"] = pkg
+    return pkg
+
+
+def build_reference_model(yaml_dict, state_dict=None):
+    """Construct the real reference model from a config dict and load weights.
+
+    Uses the reference's own factory (reference: utils/init_model.py:61
+    ``init_speech_model``) so the config mapping itself is exercised, then
+    loads ``state_dict`` strictly — any name/shape mismatch in our
+    convert/export mapping fails loudly here.
+    """
+    load_reference()
+    import torch
+
+    from chunkformer.utils.init_model import init_speech_model
+
+    configs = dict(yaml_dict)
+    configs.setdefault("input_dim", configs.get("encoder_conf", {}).get("input_size", 80))
+    configs.setdefault("output_dim", configs.get("vocab_size", 0))
+    model, _ = init_speech_model(None, configs)
+    if state_dict is not None:
+        sd = {k: torch.as_tensor(v) for k, v in state_dict.items()
+              if not k.startswith("encoder.global_cmvn.")}
+        missing, unexpected = model.load_state_dict(sd, strict=False)
+        # global_cmvn buffers are intentionally absent (constructed via
+        # cmvn_conf); deterministic sinusoidal `pe` buffers are rebuilt by the
+        # module itself; everything else must match exactly.
+        bad_missing = [k for k in missing
+                       if "global_cmvn" not in k and not k.endswith(".pe")]
+        assert not bad_missing, f"missing keys: {bad_missing}"
+        assert not unexpected, f"unexpected keys: {unexpected}"
+        if "encoder.global_cmvn.mean" in state_dict:
+            from chunkformer.modules.cmvn import GlobalCMVN
+
+            model.encoder.global_cmvn = GlobalCMVN(
+                torch.as_tensor(state_dict["encoder.global_cmvn.mean"]).float(),
+                torch.as_tensor(state_dict["encoder.global_cmvn.istd"]).float(),
+            )
+    model.eval()
+    return model

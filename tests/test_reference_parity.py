@@ -1,0 +1,415 @@
+"""Cross-framework numerical parity against the ACTUAL reference implementation.
+
+Every test here loads identical weights into (a) the real reference torch
+modules imported from /root/reference (via tests/reference_oracle.py) and
+(b) our JAX implementation via convert.py, then asserts logit/loss-level
+agreement. This is the evidence that converts the suite's self-consistency
+tests into genuine parity claims:
+
+- encoder full-context forward       (reference: modules/encoder.py:461-501)
+- encoder limited-context forward    (reference: modules/encoder.py:220-308)
+- endless-decode segmentation loop   (reference: chunkformer_model.py:320-461,
+                                      modules/encoder.py:503-681)
+- streaming forward_chunk_by_chunk   (reference: modules/encoder.py:310-459)
+- CTC loss                           (reference: modules/ctc.py:51-71)
+- hybrid CTC/AED model loss          (reference: modules/asr_model.py:77-171)
+- AED decoder fwd + one-step         (reference: modules/decoder.py:173-305)
+- RNN-T predictor + joint            (reference: transducer/predictor.py:69,
+                                      transducer/joint.py:69)
+- classification forward             (reference: modules/classification_model.py:199)
+
+Tolerances are f32 accumulation noise (atol 2e-4 on unit-scale activations).
+"""
+
+import copy
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from chunkformer_tpu.config import ChunkFormerConfig
+from chunkformer_tpu.convert import convert_checkpoint
+from chunkformer_tpu.models.asr import ctc_log_probs
+from chunkformer_tpu.models.transducer import joint_forward, rnn_predictor_forward
+from chunkformer_tpu.nn.decoder import decoder_forward, decoder_step, init_decoder_cache
+from chunkformer_tpu.nn.encoder import (encoder_forward, encoder_parallel_chunk,
+                                        encoder_streaming_step, init_caches)
+from chunkformer_tpu.ops import chunk as chunk_ops
+from chunkformer_tpu.ops.common import IGNORE_ID
+from chunkformer_tpu.ops.ctc import ctc_loss
+from chunkformer_tpu.train.losses import asr_model_loss
+from tests.helpers import TINY_MODEL_YAML, make_reference_state_dict
+from tests.reference_oracle import build_reference_model
+
+torch.manual_seed(0)
+
+
+def _close(ours, ref, atol=2e-4, rtol=1e-3):
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref.detach().numpy()
+                               if torch.is_tensor(ref) else ref), atol=atol, rtol=rtol)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    """(cfg, reference torch ASRModel, our params) sharing one set of weights."""
+    yaml_dict = copy.deepcopy(TINY_MODEL_YAML)
+    cfg = ChunkFormerConfig.from_dict(yaml_dict)
+    sd = make_reference_state_dict(cfg)
+    ref = build_reference_model(yaml_dict, sd)
+    params = convert_checkpoint({k: v.numpy() for k, v in sd.items()}, cfg)
+    return cfg, ref, params
+
+
+@pytest.fixture(scope="module")
+def batch():
+    rng = np.random.default_rng(7)
+    lens = np.array([320, 201], dtype=np.int64)
+    feats = rng.normal(size=(2, 320, 80)).astype(np.float32)
+    feats[1, 201:] = 0.0
+    tgt_lens = np.array([9, 5], dtype=np.int64)
+    targets = np.full((2, 9), IGNORE_ID, dtype=np.int64)
+    targets[0, :9] = rng.integers(1, 30, size=9)
+    targets[1, :5] = rng.integers(1, 30, size=5)
+    return feats, lens, targets, tgt_lens
+
+
+def _compare_masked(out_j, out_t, out_lens, atol=2e-4):
+    out_j, out_t = np.asarray(out_j), out_t.detach().numpy()
+    assert out_j.shape == out_t.shape, (out_j.shape, out_t.shape)
+    for b, n in enumerate(out_lens):
+        np.testing.assert_allclose(out_j[b, :n], out_t[b, :n], atol=atol, rtol=1e-3)
+
+
+def test_encoder_full_context_parity(pair, batch):
+    cfg, ref, params = pair
+    feats, lens, _, _ = batch
+    with torch.no_grad():
+        out_t, mask_t = ref.encoder.forward_encoder(
+            torch.from_numpy(feats), torch.from_numpy(lens), 0, 0, 0)
+    out_j, mask_j = encoder_forward(params["encoder"], cfg.encoder_conf,
+                                    jnp.asarray(feats), jnp.asarray(lens))
+    out_lens = np.asarray(mask_j.sum(-1))
+    np.testing.assert_array_equal(out_lens, mask_t.squeeze(1).sum(1).numpy())
+    _compare_masked(out_j, out_t, out_lens)
+
+
+@pytest.mark.parametrize("clr", [(4, 8, 2), (8, 16, 0), (4, 0, 4)])
+def test_encoder_limited_context_parity(pair, batch, clr):
+    cfg, ref, params = pair
+    feats, lens, _, _ = batch
+    c, L, R = clr
+    with torch.no_grad():
+        out_t, mask_t = ref.encoder.forward_encoder(
+            torch.from_numpy(feats), torch.from_numpy(lens), c, L, R)
+    out_j, mask_j = encoder_forward(params["encoder"], cfg.encoder_conf,
+                                    jnp.asarray(feats), jnp.asarray(lens), c, L, R)
+    _compare_masked(out_j, out_t, np.asarray(mask_j.sum(-1)))
+
+
+@pytest.mark.parametrize("R", [0, 2])
+def test_endless_decode_segments_parity(pair, R):
+    """The flagship path: multi-segment forward_parallel_chunk with caches.
+
+    Drives BOTH frameworks through the exact endless_decode segmentation
+    arithmetic (reference: chunkformer_model.py:344-434) for >= 3 macro
+    segments and compares the concatenated encoder outputs.
+    """
+    cfg, ref, params = pair
+    enc_cfg = cfg.encoder_conf
+    c, L = 4, 8
+    sub, n_blocks = 8, enc_cfg.num_blocks
+    lorder = enc_cfg.conv_lorder
+    trunc = c * 3  # 3 chunks kept per macro segment
+    r_prime = max(R, lorder)
+    rel_right = (r_prime + max(c, r_prime) * (n_blocks - 1)) * sub
+
+    feats = np.random.default_rng(3).normal(size=(900, 80)).astype(np.float32)
+    t_total = len(feats)
+
+    # ---- reference loop
+    att_t = torch.zeros((n_blocks, L, enc_cfg.attention_heads, enc_cfg.head_dim * 2))
+    cnn_t = torch.zeros((n_blocks, enc_cfg.output_size, lorder))
+    offset_t = torch.zeros(1, dtype=torch.long)
+    ref_parts = []
+    # ---- ours
+    att_j, cnn_j = init_caches(enc_cfg, L)
+    offset_j = 0
+    our_parts = []
+
+    idx = 0
+    for start in range(0, t_total, trunc * sub):
+        end = min(start + trunc * sub + 7, t_total)
+        x = feats[start:min(end + rel_right, t_total)]
+        x_len = len(x)
+        with torch.no_grad():
+            out_t, enc_len_t, _, att_t, cnn_t, offset_t = ref.encoder.forward_parallel_chunk(
+                xs=[torch.from_numpy(x)],
+                xs_origin_lens=torch.tensor([x_len]),
+                chunk_size=c, left_context_size=L, right_context_size=R,
+                att_cache=att_t, cnn_cache=cnn_t,
+                truncated_context_size=trunc, offset=offset_t)
+        flat_t = out_t.reshape(-1, enc_cfg.output_size)[: int(enc_len_t)]
+
+        packed = chunk_ops.pack_chunks([x], [x_len], c, offsets=[offset_j])
+        out_j, att_j, cnn_j = encoder_parallel_chunk(
+            params["encoder"], enc_cfg, jnp.asarray(packed.xs),
+            jnp.asarray(packed.chunk_idx), jnp.asarray(packed.offsets),
+            jnp.asarray(packed.max_lens), c, L, R, att_j, cnn_j, trunc)
+        flat_j = np.asarray(out_j).reshape(-1, enc_cfg.output_size)[: int(packed.out_lens[0])]
+
+        last = trunc * sub * idx + rel_right >= t_total
+        if not last:
+            flat_t = flat_t[:trunc]
+            flat_j = flat_j[:trunc]
+        # reference: offset -= enc_len - kept (chunkformer_model.py:426)
+        offset_t = offset_t - int(enc_len_t) + flat_t.shape[0]
+        offset_j += flat_j.shape[0]
+        assert flat_j.shape == tuple(flat_t.shape)
+        np.testing.assert_allclose(flat_j, flat_t.numpy(), atol=3e-4, rtol=1e-3)
+        ref_parts.append(flat_t.numpy())
+        our_parts.append(flat_j)
+        if last:
+            break
+        idx += 1
+
+    assert idx >= 2, "need >=3 segments for a meaningful cache-continuation test"
+    np.testing.assert_allclose(np.concatenate(our_parts), np.concatenate(ref_parts),
+                               atol=3e-4, rtol=1e-3)
+
+
+def test_streaming_forward_chunk_parity(pair):
+    """Per-chunk incremental decode (reference: encoder.py:310-459, R=0)."""
+    cfg, ref, params = pair
+    enc_cfg = cfg.encoder_conf
+    c, L, R = 4, 8, 0
+    sub = 8
+    feats = np.random.default_rng(11).normal(size=(1, 600, 80)).astype(np.float32)
+
+    with torch.no_grad():
+        out_t, _ = ref.encoder.forward_chunk_by_chunk(
+            torch.from_numpy(feats), torch.tensor([600]), c, L, R)
+
+    size = chunk_ops.reverse_calc_length(c) + R * sub
+    stride = c * sub
+    pad = stride - ((feats.shape[1] - size) % stride)
+    x = np.pad(feats, ((0, 0), (0, pad), (0, 0)))
+    att, cnn = init_caches(enc_cfg, L, batch=1)
+    outs, offset = [], 0
+    for i in range(0, x.shape[1] - size + stride, stride):
+        seg = jnp.asarray(x[:, i:i + size])
+        out, att, cnn = encoder_streaming_step(
+            params["encoder"], enc_cfg, seg, att, cnn, c, L, R, jnp.asarray(offset))
+        keep = np.asarray(out)[0]
+        if i + size < x.shape[1]:
+            keep = keep[:c]
+        outs.append(keep)
+        offset += c
+    ours = np.concatenate(outs)[None]
+
+    n = min(ours.shape[1], out_t.shape[1])
+    np.testing.assert_allclose(ours[:, :n], out_t.numpy()[:, :n], atol=3e-4, rtol=1e-3)
+
+
+def test_ctc_loss_and_logprobs_parity(pair, batch):
+    cfg, ref, params = pair
+    feats, lens, targets, tgt_lens = batch
+    with torch.no_grad():
+        enc_t, mask_t = ref.encoder.forward_encoder(
+            torch.from_numpy(feats), torch.from_numpy(lens), 0, 0, 0)
+        enc_lens_t = mask_t.squeeze(1).sum(1)
+        tgt_t = torch.from_numpy(np.where(targets == IGNORE_ID, 0, targets))
+        loss_t, _ = ref.ctc(enc_t, enc_lens_t, tgt_t, torch.from_numpy(tgt_lens))
+        logp_t = ref.ctc.log_softmax(enc_t)
+
+    enc_j, mask_j = encoder_forward(params["encoder"], cfg.encoder_conf,
+                                    jnp.asarray(feats), jnp.asarray(lens))
+    logp_j = ctc_log_probs(params["ctc"], enc_j)
+    losses = ctc_loss(logp_j, mask_j.sum(-1).astype(jnp.int32),
+                      jnp.asarray(np.where(targets == IGNORE_ID, 0, targets)),
+                      jnp.asarray(tgt_lens), cfg.ctc_conf.ctc_blank_id)
+    loss_j = jnp.sum(losses) / feats.shape[0]
+    _close(loss_j, loss_t, atol=1e-3)
+    _compare_masked(logp_j, logp_t, np.asarray(mask_j.sum(-1)), atol=3e-4)
+
+
+def test_asr_model_loss_parity(pair, batch):
+    """Full hybrid loss: w*CTC + (1-w)*(fwd+reverse AED) (asr_model.py:77-131)."""
+    cfg, ref, params = pair
+    feats, lens, targets, tgt_lens = batch
+    b = {"feats": torch.from_numpy(feats), "feats_lengths": torch.from_numpy(lens),
+         "target": torch.from_numpy(targets), "target_lengths": torch.from_numpy(tgt_lens)}
+    with torch.no_grad():
+        ref_out = ref.forward(b, torch.device("cpu"))
+    ours = asr_model_loss(params, cfg, jnp.asarray(feats), jnp.asarray(lens),
+                          jnp.asarray(targets), jnp.asarray(tgt_lens), train=False)
+    _close(ours["loss_ctc"], ref_out["loss_ctc"], atol=2e-3)
+    _close(ours["loss_att"], ref_out["loss_att"], atol=2e-3)
+    _close(ours["loss"], ref_out["loss"], atol=2e-3)
+    _close(ours["acc_att"], ref_out["th_accuracy"], atol=1e-4)
+
+
+def test_decoder_forward_parity(pair, batch):
+    cfg, ref, params = pair
+    feats, lens, targets, tgt_lens = batch
+    vocab = cfg.vocab_size
+    sos = eos = vocab - 1
+
+    with torch.no_grad():
+        enc_t, mask_t = ref.encoder.forward_encoder(
+            torch.from_numpy(feats), torch.from_numpy(lens), 0, 0, 0)
+        from chunkformer.utils.common import add_sos_eos as t_add, reverse_pad_list as t_rev
+
+        ys = torch.from_numpy(targets)
+        ys_in, _ = t_add(ys, sos, eos, IGNORE_ID)
+        r_ys = t_rev(ys, torch.from_numpy(tgt_lens), float(IGNORE_ID))
+        r_ys_in, _ = t_add(r_ys, sos, eos, IGNORE_ID)
+        l_t, r_t, _ = ref.decoder(enc_t, mask_t, ys_in,
+                                  torch.from_numpy(tgt_lens) + 1, r_ys_in, 0.3)
+
+    from chunkformer_tpu.ops.common import add_sos_eos, reverse_pad_list
+
+    enc_j, mask_j = encoder_forward(params["encoder"], cfg.encoder_conf,
+                                    jnp.asarray(feats), jnp.asarray(lens))
+    ys_in_j, _ = add_sos_eos(jnp.asarray(targets), jnp.asarray(tgt_lens), sos, eos)
+    r_ys_j = reverse_pad_list(jnp.asarray(targets), jnp.asarray(tgt_lens))
+    r_ys_in_j, _ = add_sos_eos(r_ys_j, jnp.asarray(tgt_lens), sos, eos)
+    np.testing.assert_array_equal(np.asarray(ys_in_j), ys_in.numpy())
+    l_j, r_j = decoder_forward(params["decoder"], cfg.decoder_conf, enc_j, mask_j,
+                               ys_in_j, jnp.asarray(tgt_lens) + 1, r_ys_in_j, 0.3)
+    # valid token positions only (padding positions differ, masked in loss)
+    for bi, n in enumerate(np.asarray(tgt_lens) + 1):
+        np.testing.assert_allclose(np.asarray(l_j)[bi, :n], l_t.numpy()[bi, :n],
+                                   atol=3e-4, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(r_j)[bi, :n], r_t.numpy()[bi, :n],
+                                   atol=3e-4, rtol=1e-3)
+
+
+def test_decoder_one_step_parity(pair, batch):
+    """Incremental decode: reference growing-cache forward_one_step
+    (decoder.py:253-305) vs our static ring-buffer decoder_step."""
+    cfg, ref, params = pair
+    feats, lens, _, _ = batch
+    vocab = cfg.vocab_size
+    sos = vocab - 1
+
+    with torch.no_grad():
+        enc_t, mask_t = ref.encoder.forward_encoder(
+            torch.from_numpy(feats), torch.from_numpy(lens), 0, 0, 0)
+    enc_j, mask_j = encoder_forward(params["encoder"], cfg.encoder_conf,
+                                    jnp.asarray(feats), jnp.asarray(lens))
+
+    hyp = [sos, 3, 7, 12]
+    u_max = 8
+    cache_j = init_decoder_cache(cfg.decoder_conf, cfg.decoder_conf.num_blocks, 2, u_max,
+                                 cfg.encoder_conf.output_size)
+    cache_t = {"self_att_cache": {}, "cross_att_cache": {}}
+    for pos, tok in enumerate(hyp):
+        tgt = torch.tensor([hyp[: pos + 1], hyp[: pos + 1]])
+        tgt_mask = torch.ones((2, pos + 1, pos + 1), dtype=torch.bool).tril()
+        with torch.no_grad():
+            logp_t, cache_t = ref.decoder.left_decoder.forward_one_step(
+                enc_t, mask_t, tgt, tgt_mask, cache_t)
+        logp_j, cache_j = decoder_step(
+            params["decoder"], cfg.decoder_conf, enc_j, mask_j,
+            jnp.asarray([tok, tok]), jnp.asarray(pos, jnp.int32), cache_j)
+        np.testing.assert_allclose(np.asarray(logp_j), logp_t.numpy(), atol=3e-4, rtol=1e-3)
+
+
+def test_subsampling_and_pos_emb_parity(pair):
+    cfg, ref, params = pair
+    enc_cfg = cfg.encoder_conf
+    x = np.random.default_rng(5).normal(size=(2, 67, 80)).astype(np.float32)
+    c, L, R = 4, 8, 2
+    with torch.no_grad():
+        out_t, pos_t, _ = ref.encoder.embed(
+            torch.from_numpy(x), torch.ones((2, 1, 67), dtype=torch.bool),
+            chunk_size=c, left_context_size=L, right_context_size=R)
+
+    from chunkformer_tpu.nn.embedding import rel_pos_slice
+    from chunkformer_tpu.nn.subsampling import subsampling_forward
+
+    import math
+
+    out_j = subsampling_forward(params["encoder"]["embed"], jnp.asarray(x))
+    out_j = out_j * math.sqrt(enc_cfg.output_size)
+    pos_j = rel_pos_slice(enc_cfg.output_size, c, L, R, enc_cfg.max_pos_len)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(pos_j), pos_t.numpy()[0], atol=1e-5, rtol=1e-5)
+
+
+TRANSDUCER_YAML = {
+    "model": "transducer",
+    "encoder": "chunkformer",
+    "encoder_conf": dict(TINY_MODEL_YAML["encoder_conf"]),
+    "decoder": "transformer",
+    "decoder_conf": {"attention_heads": 2, "linear_units": 64, "num_blocks": 1,
+                     "dropout_rate": 0.0},
+    "predictor": "rnn",
+    "predictor_conf": {"embed_size": 32, "hidden_size": 32, "output_size": 32,
+                       "num_layers": 1, "embed_dropout": 0.0, "dropout": 0.0},
+    "joint_conf": {"enc_output_size": 32, "pred_output_size": 32, "join_dim": 32},
+    "ctc_conf": {"ctc_blank_id": 0},
+    "model_conf": {"ctc_weight": 0.2, "transducer_weight": 0.7, "attention_weight": 0.1,
+                   "lsm_weight": 0.1, "reverse_weight": 0.0},
+    "output_dim": 32,
+    "input_dim": 80,
+}
+
+
+def test_predictor_joint_parity():
+    cfg = ChunkFormerConfig.from_dict(TRANSDUCER_YAML)
+    from tests.helpers import make_reference_state_dict as mk
+
+    sd = mk(cfg)
+    ref = build_reference_model(TRANSDUCER_YAML, sd)
+    params = convert_checkpoint({k: v.numpy() for k, v in sd.items()}, cfg)
+
+    tokens = np.array([[0, 3, 7, 2], [0, 5, 1, 4]], dtype=np.int64)
+    with torch.no_grad():
+        pred_t = ref.predictor(torch.from_numpy(tokens))
+    pred_j = rnn_predictor_forward(params["predictor"], cfg.predictor_conf,
+                                   jnp.asarray(tokens))
+    _close(pred_j, pred_t, atol=2e-4)
+
+    enc = np.random.default_rng(9).normal(size=(2, 6, 32)).astype(np.float32)
+    with torch.no_grad():
+        joint_t = ref.joint(torch.from_numpy(enc), pred_t)
+    joint_j = joint_forward(params["joint"], cfg.joint_conf, jnp.asarray(enc), pred_j)
+    _close(joint_j, joint_t, atol=3e-4)
+
+
+CLS_YAML = {
+    "model": "classification",
+    "encoder": "chunkformer",
+    "encoder_conf": dict(TINY_MODEL_YAML["encoder_conf"]),
+    "model_conf": {"tasks": {"gender": 2, "emotion": 4}, "dropout_rate": 0.0},
+    "input_dim": 80,
+}
+
+
+def test_classification_forward_parity():
+    cfg = ChunkFormerConfig.from_dict(CLS_YAML)
+    from tests.helpers import make_reference_state_dict as mk
+
+    sd = {k: v for k, v in mk(cfg).items()
+          if k.startswith(("encoder.", "classification_heads."))}
+    ref = build_reference_model(CLS_YAML, sd)
+    params = convert_checkpoint({k: v.numpy() for k, v in sd.items()}, cfg)
+
+    feats = np.random.default_rng(13).normal(size=(2, 160, 80)).astype(np.float32)
+    lens = np.array([160, 120], dtype=np.int64)
+    with torch.no_grad():
+        enc_t, mask_t = ref.encoder.forward_encoder(
+            torch.from_numpy(feats), torch.from_numpy(lens), 0, 0, 0)
+        pooled_t = ref._average_pooling(enc_t, mask_t)
+        logits_t = {name: head(pooled_t)
+                    for name, head in ref.classification_heads.items()}
+
+    from chunkformer_tpu.models.classification import classify_forward
+
+    logits_j = classify_forward(params | {"heads": params["heads"]}, cfg,
+                                jnp.asarray(feats), jnp.asarray(lens))
+    for name in logits_t:
+        _close(logits_j[name], logits_t[name], atol=3e-4)
