@@ -9,17 +9,28 @@ shuffle -> sort -> batch (static/bucket/dynamic) -> padded collate.
 Differences by design:
 - Per-host sharding is deterministic (`shard` by jax.process_index) and CV data
   is replicated on every host like the reference's CV path
-  (datapipes.py:286-296); uneven-data join barriers (wenet_join) are
-  unnecessary because `epoch_steps` pads the final batches to a fixed
-  per-epoch step count.
-- Collation pads to shape buckets so the compiled step cache stays small.
+  (datapipes.py:286-296); uneven-data join barriers (wenet_join,
+  train_utils.py:636-664) are unnecessary because
+  `dataset_conf.epoch_steps` fixes the per-epoch step count on every host
+  (`fixed_epoch_steps`: truncate long streams, replay the final batch of
+  short ones), and the Executor pads ragged batch dims.
+- Collation pads to shape buckets so the compiled step cache stays small;
+  `batch_conf.static_shapes` pads every batch to one fixed
+  [B, T_max, F] / [B, U_max] shape — required for multi-host training,
+  where `jax.make_array_from_process_local_data` needs identical shapes on
+  all hosts (and gives XLA exactly one train-step compilation).
+- `prefetch_buffer` decouples the host pipeline from the device step with a
+  background thread (reference: PrefetchDataPipe datapipes.py:208-250 +
+  DataLoader worker processes).
 """
 
 from __future__ import annotations
 
 import json
+import queue
 import random
 import tarfile
+import threading
 from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional
 
 import numpy as np
@@ -145,6 +156,89 @@ def dynamic_batch(source: Iterator[Dict],
         yield buf
 
 
+def bucket_batch(source: Iterator[Dict], bucket_boundaries: List[int],
+                 bucket_batch_sizes: List[int]) -> Iterator[List[Dict]]:
+    """Length-bucketed batching (reference: datapipes.py:64-146
+    BucketBySequenceLengthDataPipe).
+
+    Sample with feat length t goes to the first bucket with boundary > t;
+    each bucket has its own batch size, so short utterances pack into large
+    batches and long ones into small — near-constant frames per batch with
+    far less padding than static batching. Leftovers flush at end of stream.
+    """
+    assert len(bucket_batch_sizes) == len(bucket_boundaries) + 1, \
+        (len(bucket_boundaries), len(bucket_batch_sizes))
+    boundaries = list(bucket_boundaries)
+    buckets: List[List[Dict]] = [[] for _ in bucket_batch_sizes]
+
+    def bucket_id(n: int) -> int:
+        for i, b in enumerate(boundaries):
+            if n < b:
+                return i
+        return len(boundaries)
+
+    for sample in source:
+        i = bucket_id(sample["feat"].shape[0])
+        buckets[i].append(sample)
+        if len(buckets[i]) >= bucket_batch_sizes[i]:
+            yield buckets[i]
+            buckets[i] = []
+    for buf in buckets:
+        if buf:
+            yield buf
+
+
+def prefetch(source: Iterator, buffer_size: int = 8) -> Iterator:
+    """Background-thread prefetch (reference: datapipes.py:208-250).
+
+    Runs the upstream pipeline in a daemon thread feeding a bounded queue, so
+    host-side decode/fbank/augment overlaps with device steps (which release
+    the GIL while XLA executes). Exceptions re-raise in the consumer.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(buffer_size, 1))
+    _END, _ERR = object(), object()
+
+    def producer():
+        try:
+            for item in source:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            break
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+            raise item[1]
+        yield item
+
+
+def fixed_epoch_steps(batches: Iterator[Dict], n_steps: int) -> Iterator[Dict]:
+    """Emit exactly `n_steps` batches per epoch on every host.
+
+    Deterministic replacement for the reference's uneven-data join barrier
+    (wenet_join gloo monitored_barrier, utils/train_utils.py:636-664): if the
+    host's stream runs short, the final batch is replayed; if long, the tail
+    is dropped. All hosts therefore execute the same number of collective
+    steps and no runtime join protocol is needed.
+    """
+    last = None
+    emitted = 0
+    for batch in batches:
+        if emitted >= n_steps:
+            return
+        yield batch
+        last = batch
+        emitted += 1
+    while emitted < n_steps and last is not None:
+        yield last
+        emitted += 1
+
+
 class Dataset:
     """Config-driven pipeline (reference dataset.py:26-161)."""
 
@@ -249,11 +343,34 @@ class Dataset:
         btype = bc.get("batch_type", "static")
         if btype == "dynamic":
             batches = dynamic_batch(src, bc.get("max_frames_in_batch", 12000))
+        elif btype == "bucket":
+            batches = bucket_batch(src, bc.get("bucket_boundaries", [500, 1000, 2000]),
+                                   bc.get("bucket_batch_sizes", [64, 32, 16, 8]))
         else:
-            batches = static_batch(src, bc.get("batch_size", 16))
+            batches = static_batch(src, bc.get("batch_size", 16),
+                                   bc.get("drop_last", False))
 
-        for batch in batches:
-            yield processor.padding(batch, is_classification=self.is_classification)
+        pad_to_time = pad_to_label = pad_to_batch = None
+        if bc.get("static_shapes", False):
+            # one global shape for every batch: multi-host global-array
+            # construction and a single XLA compilation
+            pad_to_time = bc.get("pad_to_time", fc.get("max_length", 40960))
+            pad_to_label = bc.get("pad_to_label", fc.get("token_max_length", 400))
+            pad_to_batch = bc.get("batch_size", 16) if btype == "static" else None
+
+        collated = (
+            processor.padding(b, is_classification=self.is_classification,
+                              pad_to_time=pad_to_time, pad_to_label=pad_to_label,
+                              pad_to_batch=pad_to_batch)
+            for b in batches)
+
+        epoch_steps = conf.get("epoch_steps")
+        if epoch_steps:
+            collated = fixed_epoch_steps(collated, int(epoch_steps))
+        n_prefetch = conf.get("prefetch_buffer", 0)
+        if n_prefetch:
+            collated = prefetch(collated, int(n_prefetch))
+        yield from collated
 
 
 def _extract_class_labels(sample: Dict) -> Dict:

@@ -242,16 +242,24 @@ def _round_up(n: int, m: int) -> int:
 
 
 def padding(batch: List[Dict], time_bucket: int = 128, label_bucket: int = 32,
-            is_classification: bool = False) -> Dict[str, np.ndarray]:
+            is_classification: bool = False,
+            pad_to_time: int | None = None, pad_to_label: int | None = None,
+            pad_to_batch: int | None = None) -> Dict[str, np.ndarray]:
     """Collate sorted-desc by length (processor.py:509-576).
 
     TPU twist: pad the time/label axes up to bucket multiples so the jitted
     train step sees a small, finite set of shapes instead of one per batch.
+    With pad_to_time/pad_to_label/pad_to_batch, every batch gets one fixed
+    global shape (multi-host training; the batch dim is padded by repeating
+    the final sample so no zero-length utterance ever reaches the loss).
     """
     order = np.argsort([-s["feat"].shape[0] for s in batch])
     batch = [batch[i] for i in order]
+    if pad_to_batch is not None and len(batch) < pad_to_batch:
+        batch = batch + [batch[-1]] * (pad_to_batch - len(batch))
     feats_lens = np.array([s["feat"].shape[0] for s in batch], np.int32)
-    max_t = _round_up(int(feats_lens.max()), time_bucket)
+    max_t = pad_to_time or _round_up(int(feats_lens.max()), time_bucket)
+    assert max_t >= int(feats_lens.max()), (max_t, int(feats_lens.max()))
     feats = np.zeros((len(batch), max_t, batch[0]["feat"].shape[1]), np.float32)
     for i, s in enumerate(batch):
         feats[i, : s["feat"].shape[0]] = s["feat"]
@@ -266,7 +274,8 @@ def padding(batch: List[Dict], time_bucket: int = 128, label_bucket: int = 32,
             out[f"label_{t}"] = np.array([s["class_labels"][t] for s in batch], np.int64)
     elif "label" in batch[0]:
         label_lens = np.array([len(s["label"]) for s in batch], np.int32)
-        max_u = _round_up(max(int(label_lens.max()), 1), label_bucket)
+        max_u = pad_to_label or _round_up(max(int(label_lens.max()), 1), label_bucket)
+        assert max_u >= int(label_lens.max()), (max_u, int(label_lens.max()))
         labels = np.full((len(batch), max_u), -1, np.int64)
         for i, s in enumerate(batch):
             labels[i, : len(s["label"])] = s["label"]

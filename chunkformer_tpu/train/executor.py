@@ -32,7 +32,14 @@ def pick_loss_fn(cfg: ChunkFormerConfig):
     if cfg.model == "classification":
         from ..models.classification import classification_loss
 
-        return classification_loss
+        def cls_loss(params, cfg, feats, feats_lens, targets, target_lens,
+                     chunk_size=0, left=0, right=0, train=True, rng=None, step=0):
+            # uniform loss signature: `targets` is the {task: labels} dict and
+            # target_lens is a dummy (classification_model.py:102-171)
+            return classification_loss(params, cfg, feats, feats_lens, targets,
+                                       chunk_size, left, right, train, rng, step)
+
+        return cls_loss
     return asr_model_loss
 
 
@@ -73,6 +80,77 @@ class Executor:
         self.loss_fn = pick_loss_fn(cfg)
         os.makedirs(model_dir, exist_ok=True)
         self.metrics = MetricsWriter(os.path.join(model_dir, "metrics.jsonl"))
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+
+            self._batch_sharding = batch_sharding(mesh)
+            self._data_size = mesh.shape.get("data", 1)
+        else:
+            self._batch_sharding = None
+            self._data_size = 1
+
+    # ----------------------------------------------------- batch -> mesh
+
+    def _batch_arrays(self, batch: Dict):
+        """(feats, feats_lens, targets, target_lens) from a collated batch.
+
+        For classification, targets is the {task: labels} pytree (the uniform
+        loss signature threads it straight through jit).
+        """
+        if self.cfg.model == "classification":
+            targets = {k[len("label_"):]: np.asarray(batch[k])
+                       for k in batch if k.startswith("label_")}
+            target_lens = np.zeros(np.asarray(batch["feats"]).shape[0], np.int32)
+        else:
+            targets = np.asarray(batch["target"])
+            target_lens = np.asarray(batch["target_lengths"])
+        return (np.asarray(batch["feats"]), np.asarray(batch["feats_lengths"]),
+                targets, target_lens)
+
+    def _pad_batch_dim(self, arrays):
+        """Pad the batch dim to a multiple of the data axis (and accum_grad)
+        by repeating the final sample.
+
+        This is the TPU-native replacement for the reference's uneven-data
+        machinery (wenet_join monitored_barrier, train_utils.py:636-664):
+        every host always contributes a full, equally-shaped batch, so no
+        join protocol is needed. Repeated rows slightly up-weight the last
+        sample of a ragged final batch — same order of bias as the
+        reference's DDP `model.join` replaying stale batches.
+        """
+        multiple = self._data_size * self.accum_grad
+        feats = arrays[0]
+        b = feats.shape[0]
+        pad = (-b) % multiple
+        if pad == 0:
+            return arrays
+
+        def rep(x):
+            x = np.asarray(x)
+            return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+
+        return jax.tree.map(rep, arrays)
+
+    def place_batch(self, arrays):
+        """Put host arrays onto the mesh with the batch dim over `data`.
+
+        Multi-host: each host holds 1/process_count of the global batch;
+        `jax.make_array_from_process_local_data` assembles the global array
+        (the role of the reference's per-rank DistributedSampler + NCCL
+        scatter, datapipes.py:272-296).
+        """
+        arrays = self._pad_batch_dim(arrays)
+        if self.mesh is None:
+            return jax.tree.map(jnp.asarray, arrays)
+        sharding = self._batch_sharding
+
+        def put(x):
+            x = np.asarray(x)
+            if jax.process_count() > 1:
+                return jax.make_array_from_process_local_data(sharding, x)
+            return jax.device_put(x, sharding)
+
+        return jax.tree.map(put, arrays)
 
     def _get_train_step(self, chunk_cfg):
         if chunk_cfg not in self._step_cache:
@@ -94,9 +172,10 @@ class Executor:
             chunk_cfg = self._sample_chunk_cfg()
             step_fn = self._get_train_step(chunk_cfg)
             self.key, sub = jax.random.split(self.key)
-            state, metrics = step_fn(
-                state, jnp.asarray(batch["feats"]), jnp.asarray(batch["feats_lengths"]),
-                jnp.asarray(batch["target"]), jnp.asarray(batch["target_lengths"]), sub)
+            feats, feats_lens, targets, target_lens = self.place_batch(
+                self._batch_arrays(batch))
+            state, metrics = step_fn(state, feats, feats_lens, targets,
+                                     target_lens, sub)
             n_seen += batch["feats"].shape[0]
 
             step = int(state.step)
@@ -121,9 +200,9 @@ class Executor:
             self._eval_step = jax.jit(make_eval_step(self.cfg, self.loss_fn))
         total, count = 0.0, 0
         for batch in dataset:
-            metrics = self._eval_step(
-                params, jnp.asarray(batch["feats"]), jnp.asarray(batch["feats_lengths"]),
-                jnp.asarray(batch["target"]), jnp.asarray(batch["target_lengths"]))
+            feats, feats_lens, targets, target_lens = self.place_batch(
+                self._batch_arrays(batch))
+            metrics = self._eval_step(params, feats, feats_lens, targets, target_lens)
             b = batch["feats"].shape[0]
             total += float(metrics["loss"]) * b
             count += b
