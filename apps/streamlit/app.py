@@ -45,12 +45,18 @@ def main():
         return ChunkFormerModel.from_pretrained(path)
 
     upload = st.file_uploader("Audio / video file",
-                              type=["wav", "mp3", "flac", "mp4", "m4a", "ogg"])
+                              type=["wav", "mp3", "flac", "mp4", "m4a", "ogg",
+                                    "webm", "mov"])
     if upload and model_dir:
+        from ui_components import guess_mime, render_synchronized_player
+
+        from chunkformer_tpu.decode.outputs import segments_to_srt, segments_to_vtt
+
         model = load_model(model_dir)
         suffix = os.path.splitext(upload.name)[1]
+        media_bytes = upload.read()
         with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as f:
-            f.write(upload.read())
+            f.write(media_bytes)
             path = f.name
         try:
             t0 = time.perf_counter()
@@ -60,21 +66,29 @@ def main():
                     right_context_size=int(right_ctx), total_batch_duration=int(budget),
                     return_timestamps=True, max_silence_duration=float(max_silence))
             elapsed = time.perf_counter() - t0
-            st.success(f"Done in {elapsed:.1f}s")
-            if suffix in (".mp4", ".m4a"):
-                st.video(upload)
-            else:
-                st.audio(upload)
+            st.success(f"Done in {elapsed:.1f}s — {len(segments)} segments")
+
+            # media player with subtitles synchronized to playback
+            render_synchronized_player(media_bytes, guess_mime(upload.name),
+                                       segments)
+
             query = st.text_input("Search transcript")
-            for seg in segments:
-                text = seg["decode"]
-                if query and query.lower() not in text.lower():
-                    continue
-                st.markdown(f"**{seg['start']} → {seg['end']}**  {text}")
-            st.download_button(
-                "Download transcript",
-                "\n".join(f"[{s['start']} - {s['end']}] {s['decode']}" for s in segments),
+            if query:
+                for seg in segments:
+                    text = seg["decode"]
+                    if query.lower() in text.lower():
+                        st.markdown(f"**{seg['start']} → {seg['end']}**  {text}")
+
+            col1, col2, col3 = st.columns(3)
+            col1.download_button(
+                "Transcript (.txt)",
+                "\n".join(f"[{s['start']} - {s['end']}] {s['decode']}"
+                          for s in segments),
                 file_name="transcript.txt")
+            col2.download_button("Subtitles (.srt)", segments_to_srt(segments),
+                                 file_name="transcript.srt")
+            col3.download_button("Subtitles (.vtt)", segments_to_vtt(segments),
+                                 file_name="transcript.vtt")
         finally:
             os.unlink(path)
 

@@ -2,18 +2,27 @@
 
 Prints ONE JSON line:
   {"metric": "audio_seconds_per_second", "value": N, "unit": "audio-s/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "device_step_audio_s_per_s": N, "mfu": N, ...}
 
 The workload mirrors the reference's headline path
 (reference: chunkformer/chunkformer_model.py:320-459 endless_decode): a
 long-form audio stream is packed into chunk rows (chunk=64, L=R=128) and
 streamed through the ChunkFormer-large encoder (512d/8h/17 blocks) in
-macro-segments with carried caches, then CTC-argmaxed. Audio-seconds processed
-per wall-second, bf16 on-device.
+macro-segments with carried caches, then CTC-argmaxed.
 
-vs_baseline divides by 1000 audio-s/s — a nominal reference-GPU figure for
-conformer-large chunked inference (the reference publishes capacity numbers,
-not throughput; see BASELINE.md).
+Three numbers are reported so the device kernels can be judged separately
+from the host->device link (VERDICT r1 weak-item 3):
+- value: end-to-end audio-seconds per wall-second (includes int8 feature
+  quantize + upload + token download), best of 3.
+- device_step_audio_s_per_s: the jitted segment-scan program alone on
+  device-resident buffers (what a production pipeline with overlapped
+  uploads approaches).
+- mfu: measured device FLOP/s over the chip's peak bf16 FLOP/s, with FLOPs
+  taken from XLA's own cost analysis of the compiled program.
+
+vs_baseline divides end-to-end by 1000 audio-s/s — a nominal reference-GPU
+figure for conformer-large chunked inference (the reference publishes
+capacity numbers, not throughput; see BASELINE.md).
 """
 
 import json
@@ -24,6 +33,64 @@ import numpy as np
 
 BASELINE_AUDIO_SECONDS_PER_S = 1000.0
 
+# peak dense bf16 TFLOP/s per chip (public figures); device_kind -> TFLOP/s
+PEAK_BF16_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5e": 197.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v6e": 918.0,
+    "TPU v6 lite": 918.0,
+}
+
+
+def _peak_tflops(device) -> float:
+    kind = getattr(device, "device_kind", "")
+    for name, peak in PEAK_BF16_TFLOPS.items():
+        if kind.startswith(name) or name in kind:
+            return peak
+    return 197.0  # conservative default (v5e)
+
+
+def encoder_flops_per_audio_second(cfg, c: int, left: int, right: int,
+                                   vocab: int) -> float:
+    """Analytic FLOPs (2x MACs) per audio-second for the masked-batch encoder
+    + CTC head. XLA's compiled-program cost_analysis undercounts scanned/fused
+    TPU programs badly, so the MFU denominator comes from the model math
+    (matmuls/convs only; norms and elementwise are bandwidth, not FLOPs).
+
+    10 ms raw frames -> 12.5 subsampled frames per audio-second; chunked
+    attention reads a KV window of W = L + c + R per chunk of c outputs.
+    """
+    enc = cfg.encoder_conf
+    d, ff, k = enc.output_size, enc.linear_units, enc.cnn_module_kernel
+    w = left + c + right
+    pos_len = left + 2 * c + right  # rel-pos table slice per chunk
+    fps = 12.5
+
+    per_frame_layer = (
+        2 * (2 * d * ff * 2)                 # two macaron FFNs, 2 linears each
+        + 4 * 2 * d * d                      # q,k,v,out projections
+        + 2 * d * d * (pos_len / c)          # pos projection, amortized per frame
+        + 2 * 2 * d * w                      # score matmuls (AC + BD)
+        + 2 * d * w                          # attention @ V
+        + 2 * d * (2 * d)                    # conv pointwise 1 (D -> 2D, GLU)
+        + 2 * k * d                          # depthwise conv
+        + 2 * d * d                          # conv pointwise 2
+    )
+    layers = enc.num_blocks * per_frame_layer * fps
+
+    freq = enc.input_size  # 80 mels -> 40 -> 20 -> 10 through stride-2 convs
+    sub = (
+        2 * 9 * 1 * d * (fps * 4) * (freq // 2)      # conv0 3x3, 50 fps x 40
+        + (2 * 9 * d + 2 * d * d) * (fps * 2) * (freq // 4)   # dw1 + pw1
+        + (2 * 9 * d + 2 * d * d) * fps * (freq // 8)         # dw2 + pw2
+        + 2 * (d * (freq // 8)) * d * fps            # out linear
+    )
+    ctc = 2 * d * vocab * fps
+    return layers + sub + ctc
+
 
 def main():
     profile_dir = os.environ.get("CHUNKFORMER_PROFILE_DIR")
@@ -33,6 +100,8 @@ def main():
     from chunkformer_tpu.config import ChunkFormerConfig
     from chunkformer_tpu.models.asr import init_asr_model
     from chunkformer_tpu.api import ChunkFormerModel
+    from chunkformer_tpu.nn.encoder import init_caches
+    from chunkformer_tpu.ops import chunk as chunk_ops
 
     cfg = ChunkFormerConfig.from_dict({
         "model": "asr_model",
@@ -49,13 +118,16 @@ def main():
     params = random_params_like(lambda k: init_asr_model(k, cfg))
     model = ChunkFormerModel(cfg, params, char_dict=None, dtype=jnp.bfloat16)
 
+    c, left, right = 64, 128, 128
+    tbd = 600  # total_batch_duration (s)
+
     # synthetic 30-minute stream of fbank features (10 ms frames)
     audio_seconds = 1800.0
     n_frames = int(audio_seconds * 100)
     feats = np.random.default_rng(0).normal(size=(n_frames, 80)).astype(np.float32)
 
     # warmup (compiles the segment-scan programs for this length class)
-    model.endless_encode_tokens(feats, 64, 128, 128, total_batch_duration=600)
+    model.endless_encode_tokens(feats, c, left, right, total_batch_duration=tbd)
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -64,19 +136,67 @@ def main():
     elapsed = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        tokens = model.endless_encode_tokens(feats, 64, 128, 128,
-                                             total_batch_duration=600)
+        tokens = model.endless_encode_tokens(feats, c, left, right,
+                                             total_batch_duration=tbd)
         elapsed = min(elapsed, time.perf_counter() - t0)
     if profile_dir:
         jax.profiler.stop_trace()
     assert tokens.shape[0] > 0
+    e2e = audio_seconds / elapsed
 
-    value = audio_seconds / elapsed
+    # ---------------- device-step-only: the jitted 8-segment scan program on
+    # device-resident buffers (no quantize/upload/download on the timed path)
+    enc = cfg.encoder_conf
+    sub = enc.subsampling_rate
+    trunc, rel_right, step_raw, seg_raw, capacity = model._endless_sizing(
+        c, right, tbd)
+    n_seg = 8
+    size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
+    span = (capacity - 1) * (sub * c) + size
+    buf_len = (n_seg - 1) * step_raw + span
+    buf = np.zeros((buf_len, 80), np.int8)
+    buf[: min(buf_len, n_frames)] = np.clip(
+        feats[:buf_len] * 16, -127, 127).astype(np.int8)
+    feats_dev = jax.device_put(buf)
+    run = model._endless_scan_fn(c, left, right, capacity, trunc, rel_right,
+                                 n_seg, mode="tokens")
+    t_total_dev = jnp.asarray(n_seg * step_raw, jnp.int32)
+    scale_dev = jnp.asarray(1.0 / 16.0, jnp.float32)
+
+    def one_call(att, cnn):
+        ys, keeps, att, cnn, _, _ = run(model.params, feats_dev, scale_dev,
+                                        t_total_dev, att, cnn,
+                                        jnp.asarray(0, jnp.int32),
+                                        jnp.zeros((), jnp.int32))
+        return ys, att, cnn
+
+    att, cnn = init_caches(enc, left, dtype=jnp.bfloat16)
+    ys, att, cnn = one_call(att, cnn)  # warm (already compiled in e2e pass)
+    jax.block_until_ready(ys)
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        ys, att, cnn = one_call(att, cnn)
+    jax.block_until_ready(ys)
+    dev_elapsed = (time.perf_counter() - t0) / n_rep
+    seg_audio_s = n_seg * step_raw / 100.0  # 10 ms raw frames
+    dev_rate = seg_audio_s / dev_elapsed
+
+    # ---------------- MFU from the analytic model FLOP count
+    flops_per_audio_s = encoder_flops_per_audio_second(cfg, c, left, right,
+                                                       cfg.vocab_size)
+    peak = _peak_tflops(jax.devices()[0]) * 1e12
+    mfu = round(flops_per_audio_s * dev_rate / peak, 4)
+
     print(json.dumps({
         "metric": "audio_seconds_per_second",
-        "value": round(value, 2),
+        "value": round(e2e, 2),
         "unit": "audio-s/s",
-        "vs_baseline": round(value / BASELINE_AUDIO_SECONDS_PER_S, 3),
+        "vs_baseline": round(e2e / BASELINE_AUDIO_SECONDS_PER_S, 3),
+        "device_step_audio_s_per_s": round(dev_rate, 2),
+        "mfu": mfu,
+        "flops_per_audio_s": round(flops_per_audio_s),
+        "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
     }))
 
 

@@ -15,7 +15,9 @@ import numpy as np
 
 
 MODES = ["ctc_greedy_search", "ctc_prefix_beam_search",
-         "ctc_prefix_beam_search_batched", "attention", "attention_rescoring"]
+         "ctc_prefix_beam_search_batched", "attention", "attention_rescoring",
+         # transducer modes (reference: bin/recognize.py:63-72)
+         "rnnt_greedy_search", "rnnt_beam_search", "rnnt_beam_attn_rescoring"]
 
 
 def parse_args(argv=None):
@@ -80,9 +82,11 @@ def main(argv=None):
         enc_out, enc_lens = model.encode(xs, lens, args.chunk_size,
                                          args.left_context_size, args.right_context_size)
         enc_lens = np.asarray(enc_lens)
-        logp = np.asarray(model.ctc_logprobs(enc_out))
-        if args.blank_penalty != 0.0:
-            logp[..., 0] -= args.blank_penalty
+        logp = None
+        if "ctc" in model.params:
+            logp = np.asarray(model.ctc_logprobs(enc_out))
+            if args.blank_penalty != 0.0:
+                logp[..., 0] -= args.blank_penalty
 
         for mode in args.modes:
             if mode == "ctc_greedy_search":
@@ -103,12 +107,38 @@ def main(argv=None):
                 mask = np.arange(enc_out.shape[1])[None, :] < enc_lens[:, None]
                 results = attention_beam_search(model.params, cfg, enc_out,
                                                 jnp.asarray(mask), args.beam_size)
-            else:  # attention_rescoring
+            elif mode == "attention_rescoring":
                 prefix = ctc_prefix_beam_search(logp, enc_lens, args.beam_size,
                                                 context_graph)
                 results = attention_rescoring(model.params, cfg, prefix, enc_out,
                                               enc_lens, args.ctc_weight,
                                               args.reverse_weight)
+            elif mode == "rnnt_greedy_search":
+                from types import SimpleNamespace
+
+                seqs = model._transducer_greedy(enc_out, enc_lens)
+                results = [SimpleNamespace(tokens=seq) for seq, _times in seqs]
+            else:  # rnnt_beam_search / rnnt_beam_attn_rescoring
+                from types import SimpleNamespace
+
+                from ..models.transducer_search import (
+                    transducer_attention_rescoring, transducer_prefix_beam_search)
+
+                results = []
+                for bi in range(len(batch)):
+                    enc_b = np.asarray(enc_out[bi, : enc_lens[bi]], np.float32)
+                    beams = transducer_prefix_beam_search(
+                        model.params, cfg, enc_b, args.beam_size,
+                        ctc_log_probs=(logp[bi, : enc_lens[bi]]
+                                       if logp is not None else None),
+                        ctc_weight=args.ctc_weight,
+                        blank=cfg.ctc_conf.ctc_blank_id)
+                    if mode == "rnnt_beam_attn_rescoring" and "decoder" in model.params:
+                        toks = transducer_attention_rescoring(
+                            model.params, cfg, beams, enc_b, args.reverse_weight)
+                    else:
+                        toks = beams[0].hyp[1:] if beams else []
+                    results.append(SimpleNamespace(tokens=toks))
             for s, r in zip(batch, results):
                 text = tokens_to_text(r.tokens, model.char_dict)
                 files[mode].write(f"{s.get('key', s['wav'])}\t{text}\n")

@@ -23,6 +23,11 @@ def parse_args(argv=None):
     p.add_argument("--model_checkpoint", required=True)
     p.add_argument("--audio_file", default=None, help="simulate streaming from file")
     p.add_argument("--mic", action="store_true", help="capture from microphone")
+    p.add_argument("--device", type=int, default=None, help="input device index")
+    p.add_argument("--list_devices", action="store_true",
+                   help="list input devices and exit")
+    p.add_argument("--speed", type=float, default=0.0,
+                   help="file replay pace: 1.0 = realtime, 0 = as fast as possible")
     p.add_argument("--chunk_size", type=int, default=6,
                    help="subsampled frames per step (6 ~= 480 ms)")
     p.add_argument("--left_context_size", type=int, default=50)
@@ -99,47 +104,49 @@ class StreamingASR:
 
 def main(argv=None):
     args = parse_args(argv)
+    from chunkformer_tpu.data.capture import list_input_devices, open_capture
+
+    if args.list_devices:
+        devices = list_input_devices()
+        if not devices:
+            print("no input devices (or no capture backend installed)")
+        for i, name in devices:
+            print(f"{i}\t{name}")
+        return 0
+
     from chunkformer_tpu.api import ChunkFormerModel
 
     model = ChunkFormerModel.from_pretrained(args.model_checkpoint)
     asr = StreamingASR(model, args.chunk_size, args.left_context_size,
                        args.right_context_size)
 
-    if args.audio_file:
-        from chunkformer_tpu.data.audio import load_audio
-
-        wav, sr = load_audio(args.audio_file)
-        block = asr.step_samples
-        t_start = time.perf_counter()
-        audio_s = 0.0
-        for i in range(0, len(wav), block):
-            chunk = wav[i:i + block]
-            audio_s += len(chunk) / sr
-            asr.accept_audio(chunk)
-            elapsed = time.perf_counter() - t_start
-            rtf = elapsed / max(audio_s, 1e-9)
-            print(f"\r[{audio_s:6.1f}s RTF={rtf:.3f}] {asr.text()}",
-                  end="", flush=True)
-        print()
-        print("final:", asr.text())
-    elif args.mic:
-        try:
-            import sounddevice as sd
-        except ImportError:
-            print("sounddevice not installed; use --audio_file", file=sys.stderr)
-            return 2
-        with sd.InputStream(samplerate=16000, channels=1, dtype="int16") as stream:
-            print("listening (ctrl-c to stop)...")
-            try:
-                while True:
-                    data, _ = stream.read(asr.step_samples)
-                    asr.accept_audio(data[:, 0].astype(np.float32))
-                    print(f"\r{asr.text()}", end="", flush=True)
-            except KeyboardInterrupt:
-                print("\nfinal:", asr.text())
-    else:
+    if not args.audio_file and not args.mic:
         print("need --audio_file or --mic", file=sys.stderr)
         return 2
+    source = "mic" if args.mic else args.audio_file
+    try:
+        cap = open_capture(source, sample_rate=asr.sr,
+                           chunk_samples=asr.step_samples,
+                           device=args.device, speed=args.speed)
+    except RuntimeError as e:
+        print(e, file=sys.stderr)
+        return 2
+
+    t_start = time.perf_counter()
+    audio_s = 0.0
+    with cap:
+        try:
+            for chunk in cap:
+                audio_s += len(chunk) / asr.sr
+                asr.accept_audio(chunk)
+                elapsed = time.perf_counter() - t_start
+                rtf = elapsed / max(audio_s, 1e-9)
+                print(f"\r[{audio_s:6.1f}s RTF={rtf:.3f}] {asr.text()}",
+                      end="", flush=True)
+        except KeyboardInterrupt:
+            pass
+    print()
+    print("final:", asr.text())
     return 0
 
 

@@ -25,6 +25,42 @@ def format_timestamp(seconds: float) -> str:
     return f"{h:02d}:{m:02d}:{s:02d}:{ms:03d}"
 
 
+def parse_timestamp(stamp: str) -> float:
+    """Inverse of format_timestamp: "hh:mm:ss:ms" -> seconds."""
+    h, m, s, ms = (int(x) for x in stamp.split(":"))
+    return h * 3600 + m * 60 + s + ms / 1000.0
+
+
+def _subtitle_time(seconds: float, sep: str) -> str:
+    ms = int(round(seconds * 1000))
+    h, rem = divmod(ms, 3600_000)
+    m, rem = divmod(rem, 60_000)
+    s, ms = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}{sep}{ms:03d}"
+
+
+def segments_to_srt(segments) -> str:
+    """Timestamped segments -> SubRip subtitles."""
+    lines = []
+    for i, seg in enumerate(segments, start=1):
+        start = parse_timestamp(seg["start"])
+        end = parse_timestamp(seg["end"])
+        lines.append(f"{i}\n{_subtitle_time(start, ',')} --> "
+                     f"{_subtitle_time(end, ',')}\n{seg['decode']}\n")
+    return "\n".join(lines)
+
+
+def segments_to_vtt(segments) -> str:
+    """Timestamped segments -> WebVTT subtitles."""
+    lines = ["WEBVTT\n"]
+    for seg in segments:
+        start = parse_timestamp(seg["start"])
+        end = parse_timestamp(seg["end"])
+        lines.append(f"{_subtitle_time(start, '.')} --> "
+                     f"{_subtitle_time(end, '.')}\n{seg['decode']}\n")
+    return "\n".join(lines)
+
+
 @dataclasses.dataclass
 class Segment:
     decode: str

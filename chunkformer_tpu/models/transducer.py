@@ -337,18 +337,29 @@ def transducer_greedy_search(
     encoder_out_lens: jnp.ndarray,  # [B]
     n_steps: int = 64,
     blank: int = 0,
-) -> jnp.ndarray:
+    init_carry=None,
+    return_carry: bool = False,
+):
     """Batched vectorized greedy decode -> frame tokens [B, T, n_steps].
 
     Matches the reference `optimized_search` (greedy_search.py:6-75): per frame
     up to n_steps symbols; predictor state/input advance only where a non-blank
     was emitted. Blank-padded output; collapse host-side with
     `remove_duplicates_and_blank`-style filtering (blanks only — no dedup).
+
+    init_carry/return_carry thread the (pred_input, predictor state) pair
+    across calls, so long-form decode can run segment-by-segment inside the
+    endless scan with exact full-sequence semantics (the fused long-form
+    path; reference keeps the whole encoder output in GPU memory instead,
+    chunkformer_model.py:437-446).
     """
     pcfg, jcfg = cfg.predictor_conf, cfg.joint_conf
     b, t, _ = encoder_out.shape
-    pstate0 = predictor_init_state(pcfg, b, encoder_out.dtype)
-    pred_input0 = jnp.full((b,), blank, jnp.int32)
+    if init_carry is not None:
+        pred_input0, pstate0 = init_carry
+    else:
+        pstate0 = predictor_init_state(pcfg, b, encoder_out.dtype)
+        pred_input0 = jnp.full((b,), blank, jnp.int32)
 
     def frame_step(carry, t_i):
         pred_input, pstate = carry
@@ -378,9 +389,12 @@ def transducer_greedy_search(
         _, _, pred_input, pstate, toks = jax.lax.while_loop(emit_cond, emit_body, state)
         return (pred_input, pstate), toks
 
-    (_, _), frame_tokens = jax.lax.scan(
+    carry, frame_tokens = jax.lax.scan(
         frame_step, (pred_input0, pstate0), jnp.arange(t))
-    return frame_tokens.transpose(1, 0, 2)  # [B, T, n_steps]
+    frame_tokens = frame_tokens.transpose(1, 0, 2)  # [B, T, n_steps]
+    if return_carry:
+        return frame_tokens, carry
+    return frame_tokens
 
 
 def greedy_tokens_to_sequences(frame_tokens, encoder_out_lens, blank: int = 0):

@@ -109,3 +109,27 @@ def test_wer():
 
     assert word_error_rate(["a b c"], ["a b c"]) == 0.0
     assert word_error_rate(["a x c"], ["a b c"]) == pytest.approx(1 / 3)
+
+
+def test_resolve_model_dir_hub(monkeypatch, tmp_path):
+    """Repo ids resolve via huggingface_hub.snapshot_download
+    (reference: chunkformer_model.py:145-206); local dirs pass through;
+    bad paths raise."""
+    from chunkformer_tpu.api import ChunkFormerModel
+
+    assert ChunkFormerModel._resolve_model_dir(str(tmp_path)) == str(tmp_path)
+    with pytest.raises(FileNotFoundError):
+        ChunkFormerModel._resolve_model_dir("/no/such/dir")
+
+    import huggingface_hub
+
+    calls = {}
+
+    def fake_snapshot(repo_id, **kw):
+        calls["repo_id"] = repo_id
+        return "/tmp/fake_snapshot"
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake_snapshot)
+    out = ChunkFormerModel._resolve_model_dir("khanhld/chunkformer-ctc-large-vie")
+    assert out == "/tmp/fake_snapshot"
+    assert calls["repo_id"] == "khanhld/chunkformer-ctc-large-vie"

@@ -54,6 +54,26 @@ def test_recognize_cli(model_dir, test_list, tmp_path):
         assert os.path.exists(tmp_path / "results" / f"{mode}.wer")
 
 
+def test_recognize_cli_rnnt_modes(test_list, tmp_path, tmp_path_factory):
+    """RNN-T decode modes in the recognize CLI (reference bin/recognize.py:63-72)."""
+    from tests.test_reference_parity import TRANSDUCER_YAML
+
+    d = tmp_path_factory.mktemp("rnnt_model")
+    make_model_dir(str(d), yaml_dict=dict(TRANSDUCER_YAML))
+    out = _run(["chunkformer_tpu.bin.recognize",
+                "--model_checkpoint", str(d),
+                "--test_data", test_list,
+                "--modes", "rnnt_greedy_search", "rnnt_beam_search",
+                "rnnt_beam_attn_rescoring",
+                "--result_dir", str(tmp_path / "results"),
+                "--chunk_size", "8", "--left_context_size", "16",
+                "--right_context_size", "16", "--beam_size", "2"])
+    assert out.returncode == 0, out.stderr[-2000:]
+    for mode in ("rnnt_greedy_search", "rnnt_beam_search",
+                 "rnnt_beam_attn_rescoring"):
+        assert os.path.exists(tmp_path / "results" / f"{mode}.txt")
+
+
 def test_alignment_cli(model_dir, test_list, tmp_path):
     out = _run(["chunkformer_tpu.bin.alignment",
                 "--model_checkpoint", model_dir,

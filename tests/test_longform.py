@@ -72,8 +72,40 @@ def test_scan_path_encoder_outputs_match():
     model = ChunkFormerModel(cfg, params)
     feats = np.random.default_rng(5).normal(size=(1200, 80)).astype(np.float32)
     model.host_segments = True
-    a = np.concatenate(model._endless_segments(feats, 8, 16, 16, 4, want_encoder=True))
+    a = np.concatenate(model._endless_segments(feats, 8, 16, 16, 4, mode="encoder"))
     model.host_segments = False
-    b = np.concatenate(model._endless_segments(feats, 8, 16, 16, 4, want_encoder=True))
+    b = np.concatenate(model._endless_segments(feats, 8, 16, 16, 4, mode="encoder"))
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_fused_rnnt_longform_token_exact():
+    """The fused in-scan RNN-T greedy (endless_rnnt_tokens) must be
+    token-exact vs the unfused path (full encoder output -> one greedy pass)
+    and must compile one program per block size, not per audio length."""
+    from tests.test_reference_parity import TRANSDUCER_YAML
+    from chunkformer_tpu.models.transducer import (init_transducer,
+                                                   transducer_greedy_search)
+
+    cfg = ChunkFormerConfig.from_dict(TRANSDUCER_YAML)
+    params = init_transducer(jax.random.PRNGKey(6), cfg)
+    model = ChunkFormerModel(cfg, params)
+    c, L, R = 8, 16, 16
+    dur = 4
+    trunc, rel_right, step_raw, *_ = model._endless_sizing(c, R, dur)
+    rng = np.random.default_rng(7)
+    for t in (step_raw + 11, 3 * step_raw + 100, 9 * step_raw + 5):
+        feats = rng.normal(size=(t, 80)).astype(np.float32)
+        fused = model.endless_rnnt_tokens(feats, c, L, R, dur)
+
+        enc = model.endless_encode(feats, c, L, R, dur)
+        unfused = transducer_greedy_search(
+            model.params, cfg, jnp.asarray(enc)[None],
+            jnp.asarray([enc.shape[0]]), n_steps=8,
+            blank=cfg.ctc_conf.ctc_blank_id)
+        assert fused.shape == unfused[0].shape, (fused.shape, unfused[0].shape)
+        np.testing.assert_array_equal(fused, np.asarray(unfused[0]),
+                                      err_msg=f"T={t}")
+    # different audio lengths reuse the same block-size programs
+    rnnt_keys = [k for k in model._jit_cache if k[0] == "scan" and k[-1] == "rnnt"]
+    assert 1 <= len(rnnt_keys) <= 4, rnnt_keys
