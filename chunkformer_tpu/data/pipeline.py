@@ -188,6 +188,47 @@ def bucket_batch(source: Iterator[Dict], bucket_boundaries: List[int],
             yield buf
 
 
+def repeat(make_source: Callable[[], Iterator], count: int = -1) -> Iterator:
+    """Re-instantiate and replay a source `count` times (-1 = forever)
+    (reference: datapipes.py:252-269 RepeatDatapipe)."""
+    n = 0
+    while count < 0 or n < count:
+        yield from make_source()
+        n += 1
+
+
+def interleave(sources: List[Iterator], weights: Optional[List[float]] = None,
+               rng: Optional[random.Random] = None) -> Iterator:
+    """Weighted random interleave of multiple sources
+    (reference: datapipes.py:299-336 InterlaveDataPipe). Exhausted sources
+    drop out; ends when all are exhausted."""
+    rng = rng or random.Random(0)
+    live = list(sources)
+    w = list(weights) if weights else [1.0] * len(live)
+    while live:
+        i = rng.choices(range(len(live)), weights=w, k=1)[0]
+        try:
+            yield next(live[i])
+        except StopIteration:
+            del live[i]
+            del w[i]
+
+
+def group_by_window(source: Iterator[Dict], key_fn: Callable[[Dict], int],
+                    window_size: int) -> Iterator[List[Dict]]:
+    """Group consecutive samples by a key into windows of `window_size`
+    (reference: datapipes.py:102-146 GroupByWindowDataPipe)."""
+    groups: Dict[int, List[Dict]] = {}
+    for sample in source:
+        k = key_fn(sample)
+        groups.setdefault(k, []).append(sample)
+        if len(groups[k]) >= window_size:
+            yield groups.pop(k)
+    for buf in groups.values():
+        if buf:
+            yield buf
+
+
 def prefetch(source: Iterator, buffer_size: int = 8) -> Iterator:
     """Background-thread prefetch (reference: datapipes.py:208-250).
 

@@ -176,3 +176,25 @@ def test_static_shape_collation():
     # batch padded by repeating the final (shortest) sample — lengths stay real
     np.testing.assert_array_equal(out["feats_lengths"], [37, 11, 11, 11])
     np.testing.assert_array_equal(out["target_lengths"], [3, 1, 1, 1])
+
+
+def test_repeat_interleave_group_by_window():
+    from chunkformer_tpu.data.pipeline import (group_by_window, interleave,
+                                               repeat)
+    import random as _random
+
+    # repeat: fresh iterator per epoch
+    out = list(repeat(lambda: iter([1, 2]), count=3))
+    assert out == [1, 2, 1, 2, 1, 2]
+
+    # interleave: drains all sources exactly once, any order
+    a, b = iter(range(5)), iter(range(10, 13))
+    got = sorted(interleave([a, b], rng=_random.Random(0)))
+    assert got == [0, 1, 2, 3, 4, 10, 11, 12]
+
+    # group_by_window: same-key windows of 2, leftovers flushed
+    samples = [{"k": i % 2, "i": i} for i in range(5)]
+    wins = list(group_by_window(iter(samples), lambda s: s["k"], 2))
+    assert sorted(len(w) for w in wins) == [1, 2, 2]
+    for w in wins:
+        assert len({s["k"] for s in w}) == 1
