@@ -25,7 +25,18 @@ def parse_args(argv=None):
                         help="Single audio file (long-form decode)")
     parser.add_argument("--audio_list", type=str, default=None,
                         help="TSV with a 'wav' column; optional 'txt' column for WER")
-    parser.add_argument("--dtype", choices=["fp32", "bf16"], default="bf16")
+    parser.add_argument("--full_attn", action="store_true",
+                        help="Full attention with caching instead of "
+                             "limited-chunk attention (reference "
+                             "chunkformer_model.py:696-701)")
+    parser.add_argument("--dtype", "--autocast_dtype", dest="dtype",
+                        choices=["fp32", "bf16", "fp16"], default="bf16",
+                        help="Device compute dtype (fp16 maps to bf16 on TPU)")
+    parser.add_argument("--device", type=str, default=None,
+                        help="Accepted for reference-CLI compatibility; the "
+                             "JAX backend picks the device")
+    # NOTE: the reference parses --full_attn but never consumes it
+    # (chunkformer_model.py:696-701 vs main body); accepted for CLI parity.
     return parser.parse_args(argv)
 
 
@@ -39,12 +50,26 @@ def main(argv=None):
 
     from ..api import ChunkFormerModel
 
-    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    dtype = jnp.bfloat16 if args.dtype in ("bf16", "fp16") else jnp.float32
     print(f"Loading model from {args.model_checkpoint} (dtype={args.dtype})")
     model = ChunkFormerModel.from_pretrained(args.model_checkpoint, dtype=dtype)
 
     t0 = time.perf_counter()
-    if args.audio_file:
+    if model.is_classification:
+        # classification checkpoints classify instead of transcribing
+        # (reference chunkformer_model.py:781-816)
+        if not args.audio_file:
+            print("error: --audio_file required for classification",
+                  file=sys.stderr)
+            return 2
+        result = model.classify_audio(
+            args.audio_file, chunk_size=args.chunk_size,
+            left_context_size=args.left_context_size,
+            right_context_size=args.right_context_size)
+        print(f"Classification results for {args.audio_file}")
+        for task, pred in result.items():
+            print(f"  {task}: {pred}")
+    elif args.audio_file:
         result = model.endless_decode(
             args.audio_file,
             chunk_size=args.chunk_size,

@@ -140,3 +140,78 @@ def bench_wrapper():
 if __name__ == "__main__":
     main()
     bench_wrapper()
+
+
+def bench_bisect():
+    """Locate the wrapper-in-scan overhead: single call vs scan, and the
+    wrapper with the kernel knocked out."""
+    import chunkformer_tpu.nn.attention as attn_mod
+    from chunkformer_tpu.nn.attention import attention_parallel_chunk_pallas
+
+    c, left, right = 64, 128, 128
+    n, h, d = 92, 8, 512
+    layers = 17
+    rng = np.random.default_rng(0)
+    dt = jnp.bfloat16
+
+    def mk(shape):
+        return jnp.asarray(rng.normal(scale=0.05, size=shape), dt)
+
+    lp = {
+        "q": {"w": mk((d, d)), "b": mk(d)}, "k": {"w": mk((d, d)), "b": mk(d)},
+        "v": {"w": mk((d, d)), "b": mk(d)}, "out": {"w": mk((d, d)), "b": mk(d)},
+        "pos": {"w": mk((d, d))},
+        "pos_bias_u": mk((h, d // h)), "pos_bias_v": mk((h, d // h)),
+    }
+    x = mk((n, c, d))
+    pos = mk((2 * c - 1 + left + right, d))
+    cache1 = jnp.zeros((left, h, 2 * d // h), dt)
+    ci = jnp.arange(n, dtype=jnp.int32)
+    off = jnp.zeros(n, jnp.int32)
+    ml = jnp.full(n, n * c, jnp.int32)
+
+    single = jax.jit(lambda lp, x, cache: attention_parallel_chunk_pallas(
+        lp, x, pos, ci, off, ml, cache, left, right, c * 58, h))
+    t = timed(single, lp, x, cache1, iters=20)
+    print(f"wrapper single call   : {t*1e6:8.1f} us")
+
+    # wrapper with kernel knocked out (projections/cache/pad only)
+    orig = attn_mod.__dict__
+    from chunkformer_tpu.ops.pallas import chunk_attention as ck
+
+    real_kernel = ck.chunk_attention_pallas
+
+    def fake_kernel(q, kv, p, u, v, ci, off, ml, **kw):
+        return q
+
+    import chunkformer_tpu.nn.attention as am
+
+    try:
+        ck.chunk_attention_pallas = fake_kernel
+        # attention module imports it lazily inside the function -> patch module
+        nocore = jax.jit(lambda lp, x, cache: attention_parallel_chunk_pallas(
+            lp, x, pos, ci, off, ml, cache, left, right, c * 58, h))
+        t = timed(nocore, lp, x, cache1, iters=20)
+        print(f"wrapper minus kernel  : {t*1e6:8.1f} us")
+    finally:
+        ck.chunk_attention_pallas = real_kernel
+
+    # kernel alone inside a 17-deep scan (same operands each step)
+    q = mk((n, c, h, d // h))
+    kv = mk((left + n * c + right, h, 2 * d // h))
+    pp = mk((2 * c - 1 + left + right, h, d // h))
+    u = mk((h, d // h))
+    vb = mk((h, d // h))
+
+    def fn(q, kv):
+        def body(carry, _):
+            o = real_kernel(carry, kv, pp, u, vb, ci, off, ml,
+                            chunk=c, left=left, right=right)
+            return o, None
+
+        out, _ = jax.lax.scan(body, q, None, length=layers)
+        return out
+
+    t = timed(jax.jit(fn), q, kv, iters=10)
+    print(f"kernel-only 17x scan  : {t*1e3:8.2f} ms total, "
+          f"{t/layers*1e6:7.1f} us/layer")
