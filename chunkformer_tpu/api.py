@@ -329,6 +329,9 @@ class ChunkFormerModel:
         seg_raw = step_raw + 7 + rel_right
         size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
         capacity = (max(seg_raw, size) - size) // (sub * c) + 1
+        # round up to the G-batched attention kernel's grid granularity;
+        # extra rows are fully masked and nearly free
+        capacity = -(-capacity // 16) * 16
         return trunc, rel_right, step_raw, seg_raw, capacity
 
     def _endless_scan_fn(self, c: int, left: int, right: int, capacity: int,

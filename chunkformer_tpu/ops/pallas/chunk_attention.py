@@ -151,3 +151,300 @@ def chunk_attention_pallas(
     )(chunk_idx.astype(jnp.int32), offsets.astype(jnp.int32),
       max_lens.astype(jnp.int32), q_hm, kv_hm, p_hm, u_hm, v_hm)
     return out.transpose(0, 2, 1, 3)          # back to [N, c, H, dk]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "left", "right", "g", "interpret"))
+def chunk_attention_pallas_batched(
+    q: jnp.ndarray,           # [N, c, H, dk] projected queries (no pos biases)
+    kv_flat: jnp.ndarray,     # [L + N*c + R, H, 2*dk] padded flat KV stream
+    p_proj: jnp.ndarray,      # [P, H, dk] projected positional encodings
+    pos_bias_u: jnp.ndarray,  # [H, dk]
+    pos_bias_v: jnp.ndarray,  # [H, dk]
+    chunk_idx: jnp.ndarray,   # [N] int32
+    offsets: jnp.ndarray,     # [N] int32
+    max_lens: jnp.ndarray,    # [N] int32
+    *, chunk: int, left: int, right: int, g: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """G-chunk-batched variant of chunk_attention_pallas.
+
+    Motivation (measured on v5e): the per-(chunk, head) grid runs ~N*H tiny
+    cells per layer, each with its own DMA and a c-iteration loop of
+    single-row rel-shift copies — per-cell overhead and 1-sublane VMEM ops
+    dominate. Here one grid cell covers G consecutive chunks of one head:
+
+    - ONE DMA fetches the union window [i*G*c, i*G*c + (G-1)*c + W) — G
+      chunks' windows overlap by W - c, so this also cuts HBM re-reads.
+    - The bd matmul covers all G chunks at once ([G*c, P]) in an
+      rr-major (within-chunk row, chunk) layout, so the rel-shift becomes c
+      copies of full-sublane [G, W] slabs instead of G*c single-row copies.
+    - AC / softmax / context stay per-chunk (window coords, exact same math).
+
+    Requires N % G == 0 (pad the packer capacity; padded rows are fully
+    masked and inert). Numerics identical to chunk_attention_pallas.
+    """
+    n, c, heads, d_k = q.shape
+    assert n % g == 0, (n, g)
+    w = left + c + right
+    union = (g - 1) * c + w
+    p_len = p_proj.shape[0]
+    assert p_len == 2 * c - 1 + left + right, (p_len, c, left, right)
+    inv_sqrt = 1.0 / math.sqrt(d_k)
+
+    def kernel(chunk_idx_ref, offsets_ref, max_lens_ref,
+               q_ref, kv_hbm, p_ref, u_ref, v_ref, out_ref,
+               kv_scratch, bd_scratch, shift_scratch, sem):
+        i = pl.program_id(0)
+        h = pl.program_id(1)
+
+        # one DMA for the union of G chunk windows of head h
+        dma = pltpu.make_async_copy(
+            kv_hbm.at[h, pl.ds(i * g * c, union), :], kv_scratch, sem)
+        dma.start()
+
+        u = u_ref[0, 0, :]
+        v_bias = v_ref[0, 0, :]
+        # q block is rr-major: [c, G, dk] (host-side relayout)
+        q_rr = q_ref[0, 0]                        # [c, G, dk]
+        qv = (q_rr + v_bias).reshape(c * g, d_k)  # row = rr*G + gg
+
+        # position scores for all G chunks in one matmul, while DMA flies
+        bd_scratch[:] = jax.lax.dot_general(
+            qv, p_ref[0, :, :], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        # rel-shift as full-sublane slabs: rows [rr*G, (rr+1)*G) share the
+        # shift (c-1) - rr (concrete indices — Mosaic has no value-level
+        # dynamic_slice)
+        for rr in range(c):
+            shift_scratch[rr * g:(rr + 1) * g, :] = bd_scratch[
+                rr * g:(rr + 1) * g, (c - 1) - rr:(c - 1) - rr + w]
+
+        dma.wait()
+        shifted = shift_scratch[:].reshape(c, g, w)
+
+        for gg in range(g):
+            row = i * g + gg
+            q_g = q_rr[:, gg, :]                  # [c, dk]
+            k_g = kv_scratch[gg * c: gg * c + w, :d_k]
+            v_g = kv_scratch[gg * c: gg * c + w, d_k:]
+            ac = jax.lax.dot_general(
+                q_g + u, k_g, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # bd rows for chunk gg live at rr*G + gg
+            scores = (ac + shifted[:, gg, :]) * inv_sqrt
+
+            ci = chunk_idx_ref[row]
+            offs = offsets_ref[row]
+            max_len = max_lens_ref[row]
+            j = jax.lax.broadcasted_iota(jnp.int32, (c, w), 1)
+            f = ci * c - left + j
+            valid = (f >= -offs) & (f < max_len)
+            scores = jnp.where(valid, scores, -1e30)
+
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.where(valid, jnp.exp(scores - m), 0.0)
+            denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+            attn = (e / denom).astype(v_g.dtype)
+
+            ctx = jax.lax.dot_general(
+                attn, v_g, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[gg, 0, :, :] = ctx.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n // g, heads),
+        in_specs=[
+            # rr-major q: [N/G, H, c, G, dk]
+            pl.BlockSpec((1, 1, c, g, d_k), lambda i, h, *_: (i, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, p_len, d_k), lambda i, h, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_k), lambda i, h, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_k), lambda i, h, *_: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, 1, c, d_k), lambda i, h, *_: (i, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((union, 2 * d_k), kv_flat.dtype),
+            pltpu.VMEM((c * g, p_len), jnp.float32),
+            pltpu.VMEM((c * g, w), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    # rr-major block layout: [N, c, H, dk] -> [N/G, H, c, G, dk]
+    q_rr = q.reshape(n // g, g, c, heads, d_k).transpose(0, 3, 2, 1, 4)
+    kv_hm = kv_flat.transpose(1, 0, 2)        # [H, T_flat, 2dk]
+    p_hm = p_proj.transpose(1, 0, 2)          # [H, P, dk]
+    u_hm = pos_bias_u[:, None, :]
+    v_hm = pos_bias_v[:, None, :]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=jax.ShapeDtypeStruct((n, heads, c, d_k), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * heads * c * (w + p_len + w) * d_k,
+            bytes_accessed=(n // g) * heads * (g * c * d_k * 2 + union * 2 * d_k)
+            * q.dtype.itemsize,
+            transcendentals=n * heads * c * w,
+        ),
+    )(chunk_idx.astype(jnp.int32), offsets.astype(jnp.int32),
+      max_lens.astype(jnp.int32), q_rr, kv_hm, p_hm, u_hm, v_hm)
+    return out.transpose(0, 2, 1, 3)          # back to [N, c, H, dk]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk", "left", "right", "g", "interpret"))
+def chunk_attention_pallas_union(
+    q: jnp.ndarray,           # [N, c, H, dk] projected queries (no pos biases)
+    kv_flat: jnp.ndarray,     # [L + N*c + R, H, 2*dk] padded flat KV stream
+    p_proj: jnp.ndarray,      # [P, H, dk] projected positional encodings
+    pos_bias_u: jnp.ndarray,  # [H, dk]
+    pos_bias_v: jnp.ndarray,  # [H, dk]
+    chunk_idx: jnp.ndarray,   # [N] int32
+    offsets: jnp.ndarray,     # [N] int32
+    max_lens: jnp.ndarray,    # [N] int32
+    *, chunk: int, left: int, right: int, g: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Union-window variant: G chunks' scores in ONE score matrix per cell.
+
+    The batched variant still runs N*H per-chunk pipelines of tiny [c, W]
+    matmuls/softmaxes whose fixed sequencing cost dominates (measured
+    G-invariant ~1.2 ms/layer on v5e). Here one grid cell computes
+
+        scores [G*c, union]  (union = (G-1)*c + W)
+
+    against the union of the G chunks' KV windows: one AC matmul, one bd
+    matmul + slab rel-shift + G block-adds, ONE masked softmax, one context
+    matmul. Out-of-window positions are masked (softmax weight 0), so the
+    2-3x AC/ctx flop inflation buys MXU-shaped matmuls and ~G x fewer op
+    sequences. Numerics identical to chunk_attention_pallas.
+    """
+    n, c, heads, d_k = q.shape
+    assert n % g == 0, (n, g)
+    w = left + c + right
+    union = (g - 1) * c + w
+    t1 = g * c
+    p_len = p_proj.shape[0]
+    assert p_len == 2 * c - 1 + left + right, (p_len, c, left, right)
+    inv_sqrt = 1.0 / math.sqrt(d_k)
+
+    def kernel(q_ref, q_rr_ref, kv_hbm, p_ref, u_ref, v_ref,
+               ci_ref, off_ref, ml_ref,
+               out_ref, kv_scratch, bd_scratch, shift_scratch, score_scratch,
+               sem):
+        i = pl.program_id(0)
+        h = pl.program_id(1)
+
+        dma = pltpu.make_async_copy(
+            kv_hbm.at[h, pl.ds(i * t1, union), :], kv_scratch, sem)
+        dma.start()
+
+        u = u_ref[0, 0, :]
+        v_bias = v_ref[0, 0, :]
+
+        # bd in rr-major (host-side relayout) so the rel-shift moves
+        # full-sublane [G, W] slabs
+        qv = (q_rr_ref[0, 0] + v_bias).reshape(t1, d_k)
+        bd_scratch[:] = jax.lax.dot_general(
+            qv, p_ref[0, :, :], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        for rr in range(c):
+            shift_scratch[rr * g:(rr + 1) * g, :] = bd_scratch[
+                rr * g:(rr + 1) * g, (c - 1) - rr:(c - 1) - rr + w]
+        shifted = shift_scratch[:].reshape(c, g, w)
+
+        dma.wait()
+        k_u = kv_scratch[:, :d_k]                     # [union, dk]
+        v_u = kv_scratch[:, d_k:]
+
+        qu = (q_ref[:, 0] + u).reshape(t1, d_k)       # row-major (g, rr)
+        score_scratch[:] = jax.lax.dot_general(
+            qu, k_u, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [t1, union]
+        # add each chunk's shifted position scores into its window block —
+        # in-place ref updates with concrete slices
+        for gg in range(g):
+            score_scratch[gg * c:(gg + 1) * c, gg * c:gg * c + w] = (
+                score_scratch[gg * c:(gg + 1) * c, gg * c:gg * c + w]
+                + shifted[:, gg, :])
+        scores = score_scratch[:] * inv_sqrt
+
+        # validity in union coords: row r = gg*c + rr belongs to chunk
+        # row_g = r // c; window [row_g*c, row_g*c + w); frame
+        # f = ci*c - L + (j - row_g*c) must lie in [-off, max_len)
+        row = jax.lax.broadcasted_iota(jnp.int32, (t1, union), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (t1, union), 1)
+        row_g = row // c
+        jw = j - row_g * c
+        ci = ci_ref[:, 0][:, None]                    # [G, 1]
+        ci_row = jnp.repeat(ci, c, axis=0)            # rows grouped by g
+        off = jnp.repeat(off_ref[:, 0][:, None], c, axis=0)
+        ml = jnp.repeat(ml_ref[:, 0][:, None], c, axis=0)
+        f = ci_row * c - left + jw
+        valid = (jw >= 0) & (jw < w) & (f >= -off) & (f < ml)
+        scores = jnp.where(valid, scores, -1e30)
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.where(valid, jnp.exp(scores - m), 0.0)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+        attn = (e / denom).astype(v_u.dtype)
+        ctx = jax.lax.dot_general(
+            attn, v_u, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [t1, dk]
+        out_ref[:, 0, :, :] = ctx.reshape(g, c, d_k).astype(out_ref.dtype)
+
+    grid = (n // g, heads)
+    # row-major q blocks [N, H, c, dk] and rr-major [N/G, H, c, G, dk]
+    q_rm = q.transpose(0, 2, 1, 3)
+    q_rr = q.reshape(n // g, g, c, heads, d_k).transpose(0, 3, 2, 1, 4)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        interpret=interpret,
+        in_specs=[
+            pl.BlockSpec((g, 1, c, d_k), lambda i, h: (i, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, g, d_k), lambda i, h: (i, h, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, p_len, d_k), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_k), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, d_k), lambda i, h: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1), lambda i, h: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1), lambda i, h: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1), lambda i, h: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, 1, c, d_k), lambda i, h: (i, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, heads, c, d_k), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((union, 2 * d_k), kv_flat.dtype),
+            pltpu.VMEM((t1, p_len), jnp.float32),
+            pltpu.VMEM((t1, w), jnp.float32),
+            pltpu.VMEM((t1, union), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (n // g) * heads * t1 * (union + p_len + union) * d_k,
+            bytes_accessed=(n // g) * heads
+            * (t1 * d_k * 2 + union * 2 * d_k) * q.dtype.itemsize,
+            transcendentals=n * heads * c * union,
+        ),
+    )(q_rm, q_rr, kv_flat.transpose(1, 0, 2),
+      p_proj.transpose(1, 0, 2), pos_bias_u[:, None, :], pos_bias_v[:, None, :],
+      chunk_idx.astype(jnp.int32)[:, None], offsets.astype(jnp.int32)[:, None],
+      max_lens.astype(jnp.int32)[:, None])
+    return out.transpose(0, 2, 1, 3)

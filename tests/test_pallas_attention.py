@@ -61,3 +61,35 @@ def test_pallas_encoder_matches_xla_encoder():
                                        pallas_interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-5, rtol=1e-3)
+
+
+@pytest.mark.parametrize("g", [2, 4])
+def test_batched_and_union_kernels_match_per_chunk(g):
+    """The G-batched and union-window kernel variants must be numerically
+    identical to the per-chunk kernel (same math, different blocking)."""
+    from chunkformer_tpu.ops.pallas.chunk_attention import (
+        chunk_attention_pallas, chunk_attention_pallas_batched,
+        chunk_attention_pallas_union)
+
+    c, L, R = 8, 16, 8
+    n, heads, d_k = 16, 2, 8
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(n, c, heads, d_k)), jnp.float32)
+    kv = jnp.asarray(rng.normal(size=(L + n * c + R, heads, 2 * d_k)), jnp.float32)
+    pp = jnp.asarray(rng.normal(size=(2 * c - 1 + L + R, heads, d_k)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(heads, d_k)), jnp.float32)
+    vb = jnp.asarray(rng.normal(size=(heads, d_k)), jnp.float32)
+    ci = jnp.asarray(np.arange(n, dtype=np.int32))
+    off = jnp.asarray(np.full(n, 2, np.int32))
+    ml = jnp.asarray(np.full(n, n * c - 5, np.int32))
+
+    want = chunk_attention_pallas(q, kv, pp, u, vb, ci, off, ml,
+                                  chunk=c, left=L, right=R, interpret=True)
+    got_b = chunk_attention_pallas_batched(q, kv, pp, u, vb, ci, off, ml,
+                                           chunk=c, left=L, right=R, g=g,
+                                           interpret=True)
+    got_u = chunk_attention_pallas_union(q, kv, pp, u, vb, ci, off, ml,
+                                         chunk=c, left=L, right=R, g=g,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(got_b), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_u), np.asarray(want), atol=1e-5)

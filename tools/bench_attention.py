@@ -15,12 +15,23 @@ from chunkformer_tpu.ops.pallas.chunk_attention import chunk_attention_pallas
 
 
 def timed(fn, *args, iters=20):
+    """Readback-forced timing.
+
+    CAUTION: on remote/tunneled backends (axon) `block_until_ready` can
+    return before execution completes, yielding impossible TFLOP/s; a host
+    readback of (a reduction of) the result is the only reliable fence.
+    """
+
+    def fence(out):
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(jax.numpy.ravel(leaf)[0])
+
     out = fn(*args)
-    jax.block_until_ready(out)
+    fence(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+        fence(out)
     return (time.perf_counter() - t0) / iters
 
 
