@@ -139,3 +139,103 @@ MIME_BY_EXT = {
 def guess_mime(filename: str) -> str:
     return MIME_BY_EXT.get(os.path.splitext(filename)[1].lower(),
                            "application/octet-stream")
+
+
+# --------------------------------------------------------------- page chrome
+# (reference app has render_custom_css/hero/landing/footer,
+#  apps/streamlit/ui_components.py:14,724,792,1238 — same roles, our styling)
+
+CUSTOM_CSS = """
+<style>
+  .block-container { padding-top: 1.2rem; }
+  .cf-hero {
+    padding: 1.4rem 1.6rem; border-radius: 12px; margin-bottom: 1rem;
+    background: linear-gradient(120deg, #101b33 0%, #1f3a63 100%);
+    color: #f4f7ff;
+  }
+  .cf-hero h1 { margin: 0 0 0.3rem 0; font-size: 1.7rem; color: #f4f7ff; }
+  .cf-hero p  { margin: 0; opacity: 0.85; }
+  .cf-badges span {
+    display: inline-block; margin: 0.5rem 0.4rem 0 0; padding: 2px 10px;
+    font-size: 0.75rem; border-radius: 999px; background: #ffffff22;
+  }
+  .cf-stat {
+    border: 1px solid #e2e6ee; border-radius: 10px; padding: 0.6rem 0.9rem;
+    text-align: center;
+  }
+  .cf-stat .v { font-size: 1.25rem; font-weight: 700; }
+  .cf-stat .k { font-size: 0.75rem; color: #66708a; text-transform: uppercase;
+                letter-spacing: 0.04em; }
+  .cf-feature { border-left: 3px solid #4a79d9; padding-left: 0.8rem;
+                margin-bottom: 0.8rem; }
+  .cf-footer { margin-top: 2rem; padding-top: 0.8rem; font-size: 0.8rem;
+               color: #66708a; border-top: 1px solid #e2e6ee; }
+</style>
+"""
+
+
+def render_custom_css() -> None:
+    import streamlit as st
+
+    st.markdown(CUSTOM_CSS, unsafe_allow_html=True)
+
+
+def render_hero_section() -> None:
+    import streamlit as st
+
+    st.markdown(
+        """
+<div class="cf-hero">
+  <h1>ChunkFormer-TPU — long-form transcription</h1>
+  <p>Hours of audio in one pass: chunked attention with exact right context,
+     masked batching, timestamped segments.</p>
+  <div class="cf-badges">
+    <span>up to 16 h / file</span><span>word timestamps</span>
+    <span>SRT / VTT export</span><span>TPU-native (JAX)</span>
+  </div>
+</div>
+""",
+        unsafe_allow_html=True)
+
+
+def render_landing_page() -> None:
+    """Shown before any file is uploaded."""
+    import streamlit as st
+
+    c1, c2, c3 = st.columns(3)
+    for col, (title, body) in zip((c1, c2, c3), (
+        ("1 · Point at a model",
+         "A local export directory (config.yaml + weights + vocab) or a "
+         "Hugging Face repo id in the sidebar."),
+        ("2 · Upload media",
+         "Audio or video — wav, mp3, flac, mp4, m4a, ogg, webm, mov. "
+         "Long files are streamed through the encoder in bounded-memory "
+         "segments."),
+        ("3 · Browse & export",
+         "Playback-synchronized transcript with click-to-seek, full-text "
+         "search, and TXT/SRT/VTT downloads."),
+    )):
+        with col:
+            st.markdown(f'<div class="cf-feature"><b>{title}</b><br/>{body}'
+                        "</div>", unsafe_allow_html=True)
+
+
+def render_stats_row(stats: dict) -> None:
+    """Small metric tiles above the transcript."""
+    import streamlit as st
+
+    cols = st.columns(len(stats))
+    for col, (k, v) in zip(cols, stats.items()):
+        col.markdown(f'<div class="cf-stat"><div class="v">{v}</div>'
+                     f'<div class="k">{html.escape(str(k))}</div></div>',
+                     unsafe_allow_html=True)
+
+
+def render_footer() -> None:
+    import streamlit as st
+
+    st.markdown(
+        '<div class="cf-footer">ChunkFormer-TPU · chunked-attention ASR '
+        "framework · behavioral port of the ChunkFormer demo app "
+        "(ICASSP 2025)</div>",
+        unsafe_allow_html=True)

@@ -330,8 +330,11 @@ class ChunkFormerModel:
         size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
         capacity = (max(seg_raw, size) - size) // (sub * c) + 1
         # round up to the G-batched attention kernel's grid granularity;
-        # extra rows are fully masked and nearly free
-        capacity = -(-capacity // 16) * 16
+        # extra rows are fully masked and nearly free — but only when the
+        # Pallas batched kernel actually runs (on the XLA fallback the
+        # padding is pure wasted encoder compute)
+        if self._pallas_ok(c):
+            capacity = -(-capacity // 16) * 16
         return trunc, rel_right, step_raw, seg_raw, capacity
 
     def _endless_scan_fn(self, c: int, left: int, right: int, capacity: int,
@@ -419,13 +422,49 @@ class ChunkFormerModel:
         self._jit_cache[key] = run
         return run
 
+    def _carve_fn(self, up_len: int, blk_len: int):
+        """Jitted device-side carve: slice one block's fixed-shape buffer out
+        of the single uploaded feature buffer, zero-filling past its end
+        (clamped gather + mask — fuses to one kernel, no padded intermediate).
+        Tiny program, cached per (upload-length bucket, block size)."""
+        key = ("carve", up_len, blk_len)
+        if key not in self._jit_cache:
+
+            @jax.jit
+            def carve(up, lo):
+                idx = lo + jnp.arange(blk_len, dtype=jnp.int32)
+                vals = jnp.take(up, jnp.clip(idx, 0, up_len - 1), axis=0)
+                return jnp.where((idx < up_len)[:, None], vals,
+                                 jnp.zeros((), up.dtype))
+
+            self._jit_cache[key] = carve
+        return self._jit_cache[key]
+
     def _endless_segments(
         self, feats: np.ndarray, chunk_size: int, left: int, right: int,
         total_batch_duration: int, mode: str = "tokens",
     ):
         """Macro-segment streaming: device scan (default) or host loop."""
         if self.host_segments:
-            assert mode != "rnnt", "host-loop fallback does not fuse RNN-T greedy"
+            if mode == "rnnt":
+                # the host-loop debug path does not fuse RNN-T greedy into the
+                # segment scan; run the unfused path: encoder via host loop,
+                # then one batched greedy pass over the full encoder output
+                from .models.transducer import transducer_greedy_search
+
+                parts = self._endless_segments_host(
+                    feats, chunk_size, left, right, total_batch_duration, True)
+                d = self.config.encoder_conf.output_size
+                enc = (np.concatenate(parts) if parts
+                       else np.zeros((0, d), np.float32))
+                if enc.shape[0] == 0:
+                    return []
+                frame_tokens = transducer_greedy_search(
+                    self.params, self.config,
+                    jnp.asarray(enc[None], self.dtype),
+                    jnp.asarray([enc.shape[0]]), n_steps=8,
+                    blank=self.config.ctc_conf.ctc_blank_id)
+                return [np.asarray(frame_tokens[0])]
             return self._endless_segments_host(feats, chunk_size, left, right,
                                                total_batch_duration,
                                                mode == "encoder")
@@ -448,9 +487,13 @@ class ChunkFormerModel:
         blocks: List[int] = [b for b in (1, 2, 4) if rem & b]
         blocks += [8] * (n_seg_total // 8)
 
-        # per-block feature buffers with static shapes, uploaded asynchronously
-        # up front so host->device transfer of block b+1 overlaps the device
-        # compute of block b (transfer is the bottleneck over slow links).
+        # Features go up in ONE transfer, then per-block fixed-shape buffers
+        # are carved out on device: on tunneled links per-transfer overhead
+        # dominates (a single 14 MB put sustains ~2x the bandwidth of three
+        # 5 MB ones) and nothing is uploaded twice (the per-block buffers
+        # overlap by span-step_raw frames). The upload length is bucketed to
+        # 1000 frames (10 s of audio, <=80 KB of zero padding) so the tiny
+        # carve programs compile once per length class, not per audio file.
         # Transfer precision (CHUNKFORMER_TRANSFER): int8 (default for
         # inference) quantizes per call with one global scale and dequantizes
         # on device — at log-mel magnitudes its absolute error matches bf16
@@ -476,15 +519,18 @@ class ChunkFormerModel:
         else:
             host_dtype = np.float32
         feat_dim = feats.shape[1]
+        total_need = (n_seg_total - 1) * step_raw + span
+        up_len = min(-(-max(t_total, 1) // 1000) * 1000, total_need)
+        up = np.zeros((up_len, feat_dim), host_dtype)
+        valid = feats[:up_len]
+        up[: valid.shape[0]] = valid.astype(host_dtype, copy=False)
+        up_dev = jax.device_put(up)
         dev_bufs = []
         base = 0
         for block in blocks:
-            lo = base * step_raw
-            buf_len = (block - 1) * step_raw + span
-            sl = np.zeros((buf_len, feat_dim), host_dtype)
-            valid = feats[lo: lo + buf_len]
-            sl[: valid.shape[0]] = valid.astype(host_dtype)
-            dev_bufs.append(jax.device_put(sl))
+            blk_len = (block - 1) * step_raw + span
+            dev_bufs.append(self._carve_fn(up_len, blk_len)(
+                up_dev, jnp.asarray(base * step_raw, jnp.int32)))
             base += block
         t_total_dev = jnp.asarray(t_total, jnp.int32)
         scale_dev = jnp.asarray(scale, jnp.float32)
@@ -511,13 +557,16 @@ class ChunkFormerModel:
             ys_parts.append(ys)
             keeps_parts.append(keeps)
             base += block
-        keeps_parts = [np.asarray(k) for k in keeps_parts]
+        # fetch all blocks in one device_get: per-array downloads each pay the
+        # link's ~25 ms round-trip latency, which dominates the (tiny) token
+        # payloads over tunneled links
+        ys_parts, keeps_parts = jax.device_get((ys_parts, keeps_parts))
         if mode == "encoder":
             return [np.asarray(ys[s], np.float32)[: keeps[s]]
                     for ys, keeps in zip(ys_parts, keeps_parts)
                     for s in range(ys.shape[0])]
         # tokens: [n_seg, capacity*c] CTC ids; rnnt: [n_seg, capacity*c, n_steps]
-        return [np.asarray(ys[s])[: keeps[s]]
+        return [ys[s][: keeps[s]]
                 for ys, keeps in zip(ys_parts, keeps_parts)
                 for s in range(ys.shape[0])]
 

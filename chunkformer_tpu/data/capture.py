@@ -263,17 +263,20 @@ def open_capture(source: str, sample_rate: int = 16000,
     """"mic" -> first available microphone backend; a path -> FileSimulator."""
     if source != "mic":
         return FileSimulator(source, sample_rate, chunk_samples, speed)
+    # sounddevice raises OSError (not ImportError) at import time when the
+    # PortAudio shared library is missing — fall through to pyaudio on any
+    # probe failure, matching list_input_devices.
     try:
         import sounddevice  # noqa: F401
 
         return SoundDeviceCapture(sample_rate, chunk_samples, device)
-    except ImportError:
+    except Exception:
         pass
     try:
         import pyaudio  # noqa: F401
 
         return PyAudioCapture(sample_rate, chunk_samples, device)
-    except ImportError:
+    except Exception:
         raise RuntimeError(
             "microphone capture needs sounddevice or pyaudio; "
             "use --audio_file to simulate from a wav") from None

@@ -275,6 +275,14 @@ def fixed_epoch_steps(batches: Iterator[Dict], n_steps: int) -> Iterator[Dict]:
         yield batch
         last = batch
         emitted += 1
+    if last is None and n_steps > 0:
+        # an empty shard cannot honor the fixed step count — the other hosts
+        # would enter collectives this host never joins (the very hang this
+        # generator exists to prevent); fail fast instead
+        raise RuntimeError(
+            "fixed_epoch_steps: data stream yielded no batches but "
+            f"epoch_steps={n_steps}; this host's shard is empty — reduce "
+            "epoch_steps, rebalance shards, or drop dataset_conf.epoch_steps")
     while emitted < n_steps and last is not None:
         yield last
         emitted += 1

@@ -78,3 +78,87 @@ def test_open_capture_mic_without_backend():
     with pytest.raises((RuntimeError, Exception)):
         cap = open_capture("mic")
         cap.start()
+
+
+def _app_path():
+    p = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "apps", "streamlit")
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    return p
+
+
+def test_app_utils_timestamps_and_stats():
+    _app_path()
+    from utils import (format_timestamp, get_transcript_at_time,
+                       plain_transcript, timestamp_to_seconds,
+                       transcript_stats)
+
+    assert timestamp_to_seconds("00:01:02:500") == pytest.approx(62.5)
+    assert format_timestamp(62.5) == "00:01:02:500"
+    assert format_timestamp(timestamp_to_seconds("01:02:03:004")) == "01:02:03:004"
+
+    seg = get_transcript_at_time(SEGS, 1.5)
+    assert seg is not None and seg["decode"] == "hello world"
+    assert get_transcript_at_time(SEGS, 2.7) is None
+    stats = transcript_stats(SEGS)
+    assert stats == {"segments": 2, "words": 3, "speech_end": 4.0}
+    assert plain_transcript(SEGS, with_times=False) == "hello world again"
+    assert "[00:00:01:000 - 00:00:02:500]" in plain_transcript(SEGS)
+
+
+def test_app_config_and_subtitles():
+    _app_path()
+    from config import APP_CONFIG
+    from utils import create_subtitle_srt, create_subtitle_vtt
+
+    assert "wav" in APP_CONFIG.supported_formats
+    assert APP_CONFIG.chunk_size == 64
+    assert create_subtitle_srt(SEGS).startswith("1\n")
+    assert create_subtitle_vtt(SEGS).startswith("WEBVTT")
+
+
+def test_app_audio_processing_save_with_progress(tmp_path):
+    _app_path()
+    import io
+
+    from audio_processing import (probe_duration_seconds,
+                                  save_uploaded_file_with_progress)
+
+    class FakeUpload(io.BytesIO):
+        name = "clip.wav"
+        size = 300
+
+    data = os.urandom(300)
+    seen = []
+    path, n = save_uploaded_file_with_progress(FakeUpload(data),
+                                               progress_cb=seen.append)
+    try:
+        assert n == 300
+        assert open(path, "rb").read() == data
+        assert seen and seen[-1] == 1.0
+        assert path.endswith(".wav")
+    finally:
+        os.unlink(path)
+
+    # wav probe
+    import wave
+
+    wav = tmp_path / "t.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\0\0" * 8000)
+    assert probe_duration_seconds(str(wav)) == pytest.approx(0.5)
+
+
+def test_app_chrome_renders_without_streamlit():
+    """The chrome helpers import cleanly; rendering requires streamlit (not
+    installed here), so only the pure pieces are exercised."""
+    _app_path()
+    import ui_components
+
+    assert "cf-hero" in ui_components.CUSTOM_CSS
+    html_doc = ui_components._player_html("QUJD", "audio/wav", "[]", 400)
+    assert "<audio" in html_doc and "timeupdate" in html_doc

@@ -16,6 +16,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run(args, timeout=560):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # conftest sets an 8-virtual-device XLA_FLAGS for mesh tests; a CLI
+    # subprocess inheriting it runs 8 oversubscribed CPU devices on a 2-core
+    # host (~30x slowdown on sequential decode loops)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.run([sys.executable, "-m"] + args, capture_output=True,
                           text=True, timeout=timeout, cwd=REPO, env=env)
@@ -54,15 +58,35 @@ def test_recognize_cli(model_dir, test_list, tmp_path):
         assert os.path.exists(tmp_path / "results" / f"{mode}.wer")
 
 
-def test_recognize_cli_rnnt_modes(test_list, tmp_path, tmp_path_factory):
-    """RNN-T decode modes in the recognize CLI (reference bin/recognize.py:63-72)."""
+def test_recognize_cli_rnnt_modes(tmp_path, tmp_path_factory):
+    """RNN-T decode modes in the recognize CLI (reference bin/recognize.py:63-72).
+
+    Uses short synthetic wavs: the beam searches are sequential per frame on
+    CPU, and minutes-long sample audio pushes this past the subprocess
+    timeout on a loaded machine (the CLI wiring is what's under test)."""
+    import wave
+
     from tests.test_reference_parity import TRANSDUCER_YAML
 
     d = tmp_path_factory.mktemp("rnnt_model")
     make_model_dir(str(d), yaml_dict=dict(TRANSDUCER_YAML))
+    wav_dir = tmp_path_factory.mktemp("rnnt_wavs")
+    rng = np.random.default_rng(0)
+    lines = []
+    for i, dur_s in enumerate((1.2, 0.7)):
+        p = wav_dir / f"utt{i}.wav"
+        pcm = (rng.normal(size=int(16000 * dur_s)) * 3000).astype(np.int16)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        lines.append(f"utt{i}\t{p}\tmột hai ba")
+    test_list = wav_dir / "test.list"
+    test_list.write_text("\n".join(lines) + "\n")
     out = _run(["chunkformer_tpu.bin.recognize",
                 "--model_checkpoint", str(d),
-                "--test_data", test_list,
+                "--test_data", str(test_list),
                 "--modes", "rnnt_greedy_search", "rnnt_beam_search",
                 "rnnt_beam_attn_rescoring",
                 "--result_dir", str(tmp_path / "results"),

@@ -165,6 +165,10 @@ def test_fixed_epoch_steps():
     # long stream: truncate
     out = list(fixed_epoch_steps(iter([{"i": k} for k in range(9)]), 3))
     assert [b["i"] for b in out] == [0, 1, 2]
+    # empty stream: must fail fast, not silently yield zero batches (other
+    # hosts would hang in collectives this host never joins)
+    with pytest.raises(RuntimeError, match="no batches"):
+        list(fixed_epoch_steps(iter([]), 3))
 
 
 def test_static_shape_collation():

@@ -109,3 +109,22 @@ def test_fused_rnnt_longform_token_exact():
     # different audio lengths reuse the same block-size programs
     rnnt_keys = [k for k in model._jit_cache if k[0] == "scan" and k[-1] == "rnnt"]
     assert 1 <= len(rnnt_keys) <= 4, rnnt_keys
+
+def test_rnnt_host_segments_fallback():
+    """host_segments=1 on a transducer model falls back to the unfused path
+    (host-loop encoder + one batched greedy pass) instead of asserting, and
+    matches the fused in-scan greedy token-for-token."""
+    from tests.test_reference_parity import TRANSDUCER_YAML
+    from chunkformer_tpu.models.transducer import init_transducer
+
+    cfg = ChunkFormerConfig.from_dict(TRANSDUCER_YAML)
+    params = init_transducer(jax.random.PRNGKey(8), cfg)
+    model = ChunkFormerModel(cfg, params)
+    c, L, R = 8, 16, 16
+    dur = 4
+    feats = np.random.default_rng(9).normal(size=(900, 80)).astype(np.float32)
+    fused = model.endless_rnnt_tokens(feats, c, L, R, dur)
+    model.host_segments = True
+    host = model.endless_rnnt_tokens(feats, c, L, R, dur)
+    model.host_segments = False
+    np.testing.assert_array_equal(fused, host)

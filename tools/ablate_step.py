@@ -5,7 +5,11 @@ Times the flagship masked-batch segment program with components knocked out
 attribute device time. Run on the real chip.
 """
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from functools import partial
 
 import jax

@@ -191,6 +191,7 @@ def bench_bisect():
     from chunkformer_tpu.ops.pallas import chunk_attention as ck
 
     real_kernel = ck.chunk_attention_pallas
+    real_kernel_batched = ck.chunk_attention_pallas_batched
 
     def fake_kernel(q, kv, p, u, v, ci, off, ml, **kw):
         return q
@@ -198,7 +199,10 @@ def bench_bisect():
     import chunkformer_tpu.nn.attention as am
 
     try:
+        # n=92 is divisible by 4, so the wrapper dispatches to the batched
+        # kernel — knock out BOTH entry points or the bisect is meaningless
         ck.chunk_attention_pallas = fake_kernel
+        ck.chunk_attention_pallas_batched = fake_kernel
         # attention module imports it lazily inside the function -> patch module
         nocore = jax.jit(lambda lp, x, cache: attention_parallel_chunk_pallas(
             lp, x, pos, ci, off, ml, cache, left, right, c * 58, h))
@@ -206,6 +210,7 @@ def bench_bisect():
         print(f"wrapper minus kernel  : {t*1e6:8.1f} us")
     finally:
         ck.chunk_attention_pallas = real_kernel
+        ck.chunk_attention_pallas_batched = real_kernel_batched
 
     # kernel alone inside a 17-deep scan (same operands each step)
     q = mk((n, c, h, d // h))
