@@ -119,7 +119,10 @@ def main():
     model = ChunkFormerModel(cfg, params, char_dict=None, dtype=jnp.bfloat16)
 
     c, left, right = 64, 128, 128
-    tbd = 600  # total_batch_duration (s)
+    # reference default batch budget (chunkformer_model.py:327); larger
+    # segments amortize the per-segment right-context lookahead (~174 s of
+    # recomputed audio per segment at flagship settings) and fixed costs
+    tbd = 1800  # total_batch_duration (s)
 
     # synthetic 30-minute stream of fbank features (10 ms frames)
     audio_seconds = 1800.0
@@ -150,7 +153,7 @@ def main():
     sub = enc.subsampling_rate
     trunc, rel_right, step_raw, seg_raw, capacity = model._endless_sizing(
         c, right, tbd)
-    n_seg = 8
+    n_seg = 4
     size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
     span = (capacity - 1) * (sub * c) + size
     buf_len = (n_seg - 1) * step_raw + span

@@ -183,11 +183,14 @@ def attention_parallel_chunk_pallas(
     """Fused-kernel variant of attention_parallel_chunk: no KV-window
     materialization; masks recomputed in-kernel from packer metadata.
 
-    Uses the G-chunk-batched kernel when the row count divides (one DMA +
-    slab-copied rel-shifts per G chunks — measured ~1.5x the per-chunk
-    grid on v5e); pad the packer capacity to a multiple of 16 to hit it."""
+    Kernel selection (measured inside a 17-layer scan on v5e, flagship
+    shapes, us/layer): union g=8 433 < batched g=16 470 < batched g=8 494 <
+    per-chunk 748. The union kernel computes each group's scores against the
+    union KV window in ONE MXU-shaped matmul sequence per (group, head) cell;
+    pad the packer capacity to a multiple of 8/16 to hit it."""
     from ..ops.pallas.chunk_attention import (chunk_attention_pallas,
-                                              chunk_attention_pallas_batched)
+                                              chunk_attention_pallas_batched,
+                                              chunk_attention_pallas_union)
 
     n, c, d = x.shape
     L, R = left_context, right_context
@@ -202,6 +205,15 @@ def attention_parallel_chunk_pallas(
 
     d_k = d // heads
     p_proj = linear(p["pos"], pos_emb.astype(x.dtype)).reshape(-1, heads, d_k)
+    if n % 8 == 0:
+        # fastest variant; its scalar BlockSpec (g, 1) needs g >= 8 sublanes
+        ctx = chunk_attention_pallas_union(
+            q, flat, p_proj,
+            p["pos_bias_u"].astype(x.dtype), p["pos_bias_v"].astype(x.dtype),
+            chunk_idx, offsets, max_lens,
+            chunk=c, left=L, right=R, g=8, interpret=interpret)
+        out = linear(p["out"], ctx.reshape(n, c, d))
+        return out, new_cache
     g = next((g for g in (16, 8, 4, 2) if n % g == 0), 1)
     if g > 1:
         ctx = chunk_attention_pallas_batched(

@@ -93,6 +93,28 @@ def _embed(p: Params, cfg: EncoderConfig, x: jnp.ndarray) -> jnp.ndarray:
     return x * math.sqrt(cfg.output_size)
 
 
+def _embed_packed(p: Params, cfg: EncoderConfig, xs: jnp.ndarray,
+                  use_pallas: bool, pallas_interpret: bool = False) -> jnp.ndarray:
+    """_embed for packed chunk rows; routes through the fused Pallas
+    subsampling frontend (ops/pallas/subsampling.py) on accelerators when the
+    row shape fits its tiling (chunk %% 16 == 0). The XLA stack is HBM-bound
+    on the conv0 intermediate (~1 GB per flagship segment); the fused kernel
+    keeps it in VMEM time-tiles (measured ~9.2 -> ~2-4 ms per segment)."""
+    size = xs.shape[1]
+    c_out = (size - 7) // cfg.subsampling_rate
+    fused_ok = (use_pallas and cfg.subsampling_rate == 8
+                and (c_out - 1) * 8 + 15 == size and c_out % 16 == 0
+                and p["embed"]["conv0"]["w"].shape[0] == cfg.output_size)
+    if not fused_ok:
+        return _embed(p, cfg, xs)
+    from ..ops.pallas.subsampling import subsampling_fused
+
+    x = _apply_cmvn(p, xs)
+    x = subsampling_fused(p["embed"], x, cfg.input_size,
+                          interpret=pallas_interpret)
+    return x * math.sqrt(cfg.output_size)
+
+
 def _use_layer_norm(cfg: EncoderConfig) -> bool:
     return cfg.cnn_module_norm == "layer_norm"
 
@@ -207,7 +229,7 @@ def encoder_parallel_chunk(
     from .attention import attention_parallel_chunk_pallas
 
     c, L, R = chunk_size, left_context_size, right_context_size
-    x = _embed(p, cfg, xs)  # [N, c, D]
+    x = _embed_packed(p, cfg, xs, use_pallas, pallas_interpret)  # [N, c, D]
     pos_emb = jnp.asarray(rel_pos_slice(cfg.output_size, c, L, R, cfg.max_pos_len))
     att_mask = parallel_chunk_att_mask(chunk_idx, offsets, max_lens, c, L, R)
     conv_mask_row = parallel_chunk_conv_mask(chunk_idx, offsets, max_lens, c,
