@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import math
 import os
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -440,6 +441,30 @@ class ChunkFormerModel:
             self._jit_cache[key] = carve
         return self._jit_cache[key]
 
+    def _stitch_fn(self, prev_len: int, off: int, overlap: int, new_len: int):
+        """Jitted device-side stitch: a block's fixed-shape feature buffer =
+        the previous block's buffer rows [off, off+overlap) (the frames the
+        two buffers share — already on device, never re-uploaded) followed by
+        the newly uploaded slice. Static shapes; cached per transition."""
+        if overlap == 0:
+            return lambda prev_buf, new_slice: new_slice
+        key = ("stitch", prev_len, off, overlap, new_len)
+        if key not in self._jit_cache:
+            if new_len == 0:
+
+                @jax.jit
+                def stitch(prev_buf, new_slice=None):
+                    return jax.lax.slice_in_dim(prev_buf, off, off + overlap)
+            else:
+
+                @jax.jit
+                def stitch(prev_buf, new_slice):
+                    part = jax.lax.slice_in_dim(prev_buf, off, off + overlap)
+                    return jnp.concatenate([part, new_slice], axis=0)
+
+            self._jit_cache[key] = stitch
+        return self._jit_cache[key]
+
     def _endless_segments(
         self, feats: np.ndarray, chunk_size: int, left: int, right: int,
         total_batch_duration: int, mode: str = "tokens",
@@ -474,26 +499,39 @@ class ChunkFormerModel:
         trunc, rel_right, step_raw, seg_raw, capacity = self._endless_sizing(
             c, right, total_batch_duration)
         size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
-        span = (capacity - 1) * (sub * c) + size
 
         t_total = int(feats.shape[0])
         # exact host-loop iteration count: break at is_last or range exhaustion
         idx0 = max(0, -(-(t_total - rel_right) // step_raw))
         n_seg_total = max(1, min(-(-t_total // step_raw), idx0 + 1))
-        # decompose into power-of-two blocks (1,2,4 then 8s): any audio length
-        # is served by at most 4 compiled scan programs with zero wasted
-        # segments; small blocks first so compute starts after a small upload
-        rem = n_seg_total % 8
-        blocks: List[int] = [b for b in (1, 2, 4) if rem & b]
-        blocks += [8] * (n_seg_total // 8)
 
-        # Features go up in ONE transfer, then per-block fixed-shape buffers
-        # are carved out on device: on tunneled links per-transfer overhead
-        # dominates (a single 14 MB put sustains ~2x the bandwidth of three
-        # 5 MB ones) and nothing is uploaded twice (the per-block buffers
-        # overlap by span-step_raw frames). The upload length is bucketed to
-        # 1000 frames (10 s of audio, <=80 KB of zero padding) so the tiny
-        # carve programs compile once per length class, not per audio file.
+        # ---- block plan: power-of-two main blocks (each one compiled scan
+        # program; small blocks first so compute starts after a small upload)
+        # plus an optional reduced-capacity TAIL block. The final segment is
+        # usually mostly padding (e.g. 1800 s of audio over 896 s steps leaves
+        # an 8 s remainder that would otherwise run the full ~1150 s-span
+        # program); running it at a power-of-two capacity bucket sized to the
+        # remainder removes that waste at a cost of at most 4 extra cached
+        # programs. Buckets stay multiples of 16 so the batched Pallas
+        # attention grid is always served.
+        gran = 16 if self._pallas_ok(c) else 8
+        x_last = t_total - (n_seg_total - 1) * step_raw
+        cap_needed = (max(x_last, size) - size) // (sub * c) + 1
+        cap_tail = gran
+        while cap_tail < cap_needed:
+            cap_tail *= 2
+        n_main = n_seg_total
+        tail_cap = None
+        if cap_tail < capacity:
+            tail_cap = cap_tail
+            n_main -= 1
+        rem = n_main % 8
+        blocks: List[Tuple[int, int]] = [(b, capacity)
+                                         for b in (1, 2, 4) if rem & b]
+        blocks += [(8, capacity)] * (n_main // 8)
+        if tail_cap is not None:
+            blocks.append((1, tail_cap))
+
         # Transfer precision (CHUNKFORMER_TRANSFER): int8 (default for
         # inference) quantizes per call with one global scale and dequantizes
         # on device — at log-mel magnitudes its absolute error matches bf16
@@ -519,19 +557,55 @@ class ChunkFormerModel:
         else:
             host_dtype = np.float32
         feat_dim = feats.shape[1]
-        total_need = (n_seg_total - 1) * step_raw + span
-        up_len = min(-(-max(t_total, 1) // 1000) * 1000, total_need)
-        up = np.zeros((up_len, feat_dim), host_dtype)
-        valid = feats[:up_len]
-        up[: valid.shape[0]] = valid.astype(host_dtype, copy=False)
-        up_dev = jax.device_put(up)
-        dev_bufs = []
+
+        # ---- upload plan: consecutive block buffers overlap by span-step_raw
+        # frames, and those frames are already on device in the previous
+        # block's buffer — so each block uploads only its NEW frames (nothing
+        # is ever transferred twice) and its fixed-shape buffer is stitched on
+        # device from the previous buffer's tail plus the new slice. Uploads
+        # run on a background thread so the host->device transfer of block
+        # i+1 overlaps the device compute of block i (jax.device_put blocks
+        # until the transfer lands on tunneled links). Each slice's upload
+        # length is bucketed to 1000 frames (10 s, <=80 KB zero padding) and
+        # zero-extended on device, so programs compile per length class, not
+        # per audio file.
+        plans = []  # (start, blk_len, off_in_prev, overlap, new_len, valid)
+        covered = 0
+        prev_start = 0
         base = 0
-        for block in blocks:
-            blk_len = (block - 1) * step_raw + span
-            dev_bufs.append(self._carve_fn(up_len, blk_len)(
-                up_dev, jnp.asarray(base * step_raw, jnp.int32)))
-            base += block
+        for b, cap in blocks:
+            span_b = (cap - 1) * (sub * c) + size
+            start = base * step_raw
+            blk_len = (b - 1) * step_raw + span_b
+            overlap = max(0, min(covered - start, blk_len))
+            new_len = blk_len - overlap
+            valid = max(0, min(t_total - covered, new_len))
+            plans.append((start, blk_len, start - prev_start, overlap,
+                          new_len, valid))
+            prev_start = start
+            covered = start + blk_len
+            base += b
+
+        def make_upload(vstart: int, valid: int, new_len: int):
+            rows = min(new_len, -(-max(valid, 1) // 1000) * 1000)
+
+            def job():
+                host = np.zeros((rows, feat_dim), host_dtype)
+                v = feats[vstart:vstart + min(valid, rows)]
+                host[: v.shape[0]] = v.astype(host_dtype, copy=False)
+                return rows, jax.device_put(host)
+
+            return job
+
+        pipelined = os.environ.get("CHUNKFORMER_NO_PIPELINE", "0") != "1"
+        # vstart is where valid data begins: frames [covered, covered+new_len)
+        jobs = []
+        covered = 0
+        for (start, blk_len, _, overlap, new_len, valid) in plans:
+            jobs.append(make_upload(covered, valid, new_len)
+                        if new_len > 0 and valid > 0 else None)
+            covered = start + blk_len
+
         t_total_dev = jnp.asarray(t_total, jnp.int32)
         scale_dev = jnp.asarray(scale, jnp.float32)
 
@@ -546,17 +620,43 @@ class ChunkFormerModel:
                           predictor_init_state(self.config.predictor_conf, 1,
                                                self.dtype))
         ys_parts, keeps_parts = [], []
-        base = 0
-        for block, feats_dev in zip(blocks, dev_bufs):
-            run = self._endless_scan_fn(c, left, right, capacity, trunc,
-                                        rel_right, block, mode)
-            ys, keeps, att_cache, cnn_cache, offset, pred_carry = run(
-                self.params, feats_dev, scale_dev, t_total_dev,
-                att_cache, cnn_cache, jnp.asarray(base, jnp.int32), offset,
-                pred_carry)
-            ys_parts.append(ys)
-            keeps_parts.append(keeps)
-            base += block
+        pool = ThreadPoolExecutor(max_workers=1) if pipelined else None
+        try:
+            futs = ([pool.submit(j) if j is not None else None for j in jobs]
+                    if pipelined else [None] * len(jobs))
+            prev_buf = None
+            prev_blk_len = 0
+            base = 0
+            for i, ((b, cap), plan) in enumerate(zip(blocks, plans)):
+                start, blk_len, off, overlap, new_len, valid = plan
+                if jobs[i] is None:
+                    rows, new_dev = 0, None
+                elif pipelined:
+                    rows, new_dev = futs[i].result()
+                else:
+                    rows, new_dev = jobs[i]()
+                if new_len > 0:
+                    new_slice = (self._carve_fn(rows, new_len)(
+                        new_dev, jnp.zeros((), jnp.int32))
+                        if new_dev is not None
+                        else jnp.zeros((new_len, feat_dim), host_dtype))
+                else:
+                    new_slice = None
+                feats_dev = self._stitch_fn(prev_blk_len, off, overlap,
+                                            new_len)(prev_buf, new_slice)
+                run = self._endless_scan_fn(c, left, right, cap, trunc,
+                                            rel_right, b, mode)
+                ys, keeps, att_cache, cnn_cache, offset, pred_carry = run(
+                    self.params, feats_dev, scale_dev, t_total_dev,
+                    att_cache, cnn_cache, jnp.asarray(base, jnp.int32), offset,
+                    pred_carry)
+                ys_parts.append(ys)
+                keeps_parts.append(keeps)
+                prev_buf, prev_blk_len = feats_dev, blk_len
+                base += b
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         # fetch all blocks in one device_get: per-array downloads each pay the
         # link's ~25 ms round-trip latency, which dominates the (tiny) token
         # payloads over tunneled links

@@ -24,6 +24,7 @@ Design notes (how this maps to TPU):
 from __future__ import annotations
 
 import math
+import os
 import random
 from typing import Optional, Tuple
 
@@ -95,14 +96,18 @@ def _embed(p: Params, cfg: EncoderConfig, x: jnp.ndarray) -> jnp.ndarray:
 
 def _embed_packed(p: Params, cfg: EncoderConfig, xs: jnp.ndarray,
                   use_pallas: bool, pallas_interpret: bool = False) -> jnp.ndarray:
-    """_embed for packed chunk rows; routes through the fused Pallas
-    subsampling frontend (ops/pallas/subsampling.py) on accelerators when the
-    row shape fits its tiling (chunk %% 16 == 0). The XLA stack is HBM-bound
-    on the conv0 intermediate (~1 GB per flagship segment); the fused kernel
-    keeps it in VMEM time-tiles (measured ~9.2 -> ~2-4 ms per segment)."""
+    """_embed for packed chunk rows.
+
+    The fused Pallas subsampling frontend (ops/pallas/subsampling.py) is
+    opt-in via CHUNKFORMER_FUSED_SUBSAMPLING=1: on the current toolchain it
+    measures ~2x SLOWER than the XLA im2col stack at the flagship segment
+    shape ([96, 519, 80]: 15.5 ms vs 7.7 ms on v5e) — its sparse-as-dense
+    conv0 tap matmul inflates FLOPs ~19x and the (N, n_sub) grid pays
+    per-cell overhead ~384 times. The XLA path is the production default."""
     size = xs.shape[1]
     c_out = (size - 7) // cfg.subsampling_rate
     fused_ok = (use_pallas and cfg.subsampling_rate == 8
+                and os.environ.get("CHUNKFORMER_FUSED_SUBSAMPLING", "0") == "1"
                 and (c_out - 1) * 8 + 15 == size and c_out % 16 == 0
                 and p["embed"]["conv0"]["w"].shape[0] == cfg.output_size)
     if not fused_ok:

@@ -25,8 +25,9 @@ def test_endless_decode_many_segments():
 
     assert tokens.shape[0] == calc_length(60_000)
     # the segment loop compiles at most the power-of-two block set {1,2,4,8}
+    # plus one reduced-capacity tail program
     scan_keys = [k for k in model._jit_cache if k[0] == "scan"]
-    assert 1 <= len(scan_keys) <= 4, scan_keys
+    assert 1 <= len(scan_keys) <= 5, scan_keys
 
     # and the segmented result equals the single-shot masked batch
     single = model._decode_feature_batch([feats], c, L, R)
@@ -44,6 +45,29 @@ def test_endless_tokens_match_bigger_budget():
     assert a.shape == b.shape
     # tolerance: the inherited-cache approximation may flip rare argmax ties
     assert (a != b).mean() < 0.02
+
+
+def test_tail_capacity_block_matches_host_loop():
+    """A long segment budget with a small audio remainder runs the final
+    segment through a reduced-capacity tail program (the full-span program
+    would be ~90% padding); tokens must stay exact vs the host-driven loop."""
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(1), cfg)
+    model = ChunkFormerModel(cfg, params)
+    c, L, R = 8, 16, 16
+    dur = 60
+    trunc, rel_right, step_raw, seg_raw, capacity = model._endless_sizing(
+        c, R, dur)
+    n = 2 * step_raw + 50  # two full steps + a tiny remainder
+    feats = np.random.default_rng(3).normal(size=(n, 80)).astype(np.float32)
+    model.host_segments = True
+    ref = model.endless_encode_tokens(feats, c, L, R, dur)
+    model.host_segments = False
+    got = model.endless_encode_tokens(feats, c, L, R, dur)
+    np.testing.assert_array_equal(ref, got)
+    tail_keys = [k for k in model._jit_cache
+                 if k[0] == "scan" and k[4] < capacity]
+    assert tail_keys, "expected a reduced-capacity tail scan program"
 
 
 def test_scan_path_matches_host_loop():
