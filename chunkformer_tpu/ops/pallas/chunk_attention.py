@@ -353,8 +353,9 @@ def chunk_attention_pallas_union(
         v_bias = v_ref[0, 0, :]
 
         # bd in rr-major (host-side relayout) so the rel-shift moves
-        # full-sublane [G, W] slabs
-        qv = (q_rr_ref[0, 0] + v_bias).reshape(t1, d_k)
+        # full-sublane [G, W] slabs; 1/sqrt(dk) is folded into the query
+        # biases so the [t1, union] score slab never needs a scaling pass
+        qv = ((q_rr_ref[0, 0] + v_bias) * inv_sqrt).reshape(t1, d_k)
         bd_scratch[:] = jax.lax.dot_general(
             qv, p_ref[0, :, :], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -367,7 +368,7 @@ def chunk_attention_pallas_union(
         k_u = kv_scratch[:, :d_k]                     # [union, dk]
         v_u = kv_scratch[:, d_k:]
 
-        qu = (q_ref[:, 0] + u).reshape(t1, d_k)       # row-major (g, rr)
+        qu = ((q_ref[:, 0] + u) * inv_sqrt).reshape(t1, d_k)  # row-major (g, rr)
         score_scratch[:] = jax.lax.dot_general(
             qu, k_u, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [t1, union]
@@ -377,21 +378,24 @@ def chunk_attention_pallas_union(
             score_scratch[gg * c:(gg + 1) * c, gg * c:gg * c + w] = (
                 score_scratch[gg * c:(gg + 1) * c, gg * c:gg * c + w]
                 + shifted[:, gg, :])
-        scores = score_scratch[:] * inv_sqrt
+        scores = score_scratch[:]
 
-        # validity in union coords: row r = gg*c + rr belongs to chunk
-        # row_g = r // c; window [row_g*c, row_g*c + w); frame
-        # f = ci*c - L + (j - row_g*c) must lie in [-off, max_len)
-        row = jax.lax.broadcasted_iota(jnp.int32, (t1, union), 0)
-        j = jax.lax.broadcasted_iota(jnp.int32, (t1, union), 1)
-        row_g = row // c
-        jw = j - row_g * c
+        # validity in union coords: every condition (window membership,
+        # -offset <= frame < max_len) is an interval in j, so the mask
+        # collapses to per-row bounds: row r = gg*c + rr is valid on
+        # j in [gg*c + lo_g, gg*c + hi_g) with
+        #   lo_g = max(0, L - ci*c - off),  hi_g = min(W, max_len - ci*c + L).
+        # Bounds are computed on [G,1] scalars and broadcast, leaving only
+        # one iota + two compares on the [t1, union] slab (the old
+        # elementwise frame-index form cost ~13 full-slab VPU passes).
         ci = ci_ref[:, 0][:, None]                    # [G, 1]
-        ci_row = jnp.repeat(ci, c, axis=0)            # rows grouped by g
-        off = jnp.repeat(off_ref[:, 0][:, None], c, axis=0)
-        ml = jnp.repeat(ml_ref[:, 0][:, None], c, axis=0)
-        f = ci_row * c - left + jw
-        valid = (jw >= 0) & (jw < w) & (f >= -off) & (f < ml)
+        base_g = jax.lax.broadcasted_iota(jnp.int32, (g, 1), 0) * c
+        lo_g = base_g + jnp.maximum(0, left - ci * c - off_ref[:, 0][:, None])
+        hi_g = base_g + jnp.minimum(w, ml_ref[:, 0][:, None] - ci * c + left)
+        lo = jnp.repeat(lo_g, c, axis=0)              # [t1, 1]
+        hi = jnp.repeat(hi_g, c, axis=0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (t1, union), 1)
+        valid = (j >= lo) & (j < hi)
         scores = jnp.where(valid, scores, -1e30)
 
         m = jnp.max(scores, axis=-1, keepdims=True)
