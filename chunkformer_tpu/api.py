@@ -516,7 +516,10 @@ class ChunkFormerModel:
         # attention grid is always served.
         gran = 16 if self._pallas_ok(c) else 8
         x_last = t_total - (n_seg_total - 1) * step_raw
-        cap_needed = (max(x_last, size) - size) // (sub * c) + 1
+        # ceil division (as _n_chunks): floor undercounts by one for most
+        # remainders and can silently drop the final token(s) when the
+        # undercount lands exactly on a power-of-two bucket
+        cap_needed = -(-(max(x_last, size) - size) // (sub * c)) + 1
         cap_tail = gran
         while cap_tail < cap_needed:
             cap_tail *= 2
@@ -656,7 +659,7 @@ class ChunkFormerModel:
                 base += b
         finally:
             if pool is not None:
-                pool.shutdown(wait=False)
+                pool.shutdown(wait=False, cancel_futures=True)
         # fetch all blocks in one device_get: per-array downloads each pay the
         # link's ~25 ms round-trip latency, which dominates the (tiny) token
         # payloads over tunneled links
@@ -674,25 +677,17 @@ class ChunkFormerModel:
         self, feats: np.ndarray, chunk_size: int, left: int, right: int,
         total_batch_duration: int, want_encoder: bool = False,
     ):
-        """Shared macro-segment loop (chunkformer_model.py:344-434 sizing)."""
+        """Shared macro-segment loop (chunkformer_model.py:344-434 sizing).
+
+        Sizing comes from ``_endless_sizing`` — the single source of truth —
+        so this host loop stays a true A/B oracle for the device scan."""
         cfg = self.config.encoder_conf
         sub = cfg.subsampling_rate
-        conv_lorder = cfg.conv_lorder
         c = chunk_size
-
-        # sizing (chunkformer_model.py:344-371)
-        max_frames = int(total_batch_duration // 0.01) // 2
-        multiply_n = max(max_frames // c // sub, 1)
-        trunc = c * multiply_n
-        r_prime = max(right, conv_lorder)
-        rel_right = (r_prime + max(c, r_prime) * (cfg.num_blocks - 1)) * sub
-
+        trunc, rel_right, step_raw, seg_raw, capacity = self._endless_sizing(
+            c, right, total_batch_duration)
+        multiply_n = trunc // c
         t_total = feats.shape[0]
-        step_raw = trunc * sub
-        # fixed per-segment raw length -> one compiled program
-        seg_raw = step_raw + 7 + rel_right
-        size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
-        capacity = (max(seg_raw, size) - size) // (sub * c) + 1
 
         att_cache, cnn_cache = init_caches(cfg, left, dtype=self.dtype)
         step_fn = self._parallel_chunk_fn(c, left, right, capacity, trunc)

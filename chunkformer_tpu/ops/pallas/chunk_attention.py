@@ -327,7 +327,10 @@ def chunk_attention_pallas_union(
     matmul + slab rel-shift + G block-adds, ONE masked softmax, one context
     matmul. Out-of-window positions are masked (softmax weight 0), so the
     2-3x AC/ctx flop inflation buys MXU-shaped matmuls and ~G x fewer op
-    sequences. Numerics identical to chunk_attention_pallas.
+    sequences. Tolerance-equal to chunk_attention_pallas but not bitwise:
+    the 1/sqrt(dk) scaling is folded into the queries pre-matmul in the
+    input dtype (bf16), which rounds slightly differently than post-matmul
+    f32 scaling.
     """
     n, c, heads, d_k = q.shape
     assert n % g == 0, (n, g)

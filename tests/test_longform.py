@@ -70,6 +70,31 @@ def test_tail_capacity_block_matches_host_loop():
     assert tail_keys, "expected a reduced-capacity tail scan program"
 
 
+def test_tail_capacity_bucket_boundary_exact():
+    """Regression: tail-block capacity must use ceil division. With floor
+    division a remainder whose true chunk count is one past a power-of-two
+    bucket (e.g. needs 9, floor says 8) ran through an 8-row tail program
+    and silently dropped the final token(s)."""
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(11), cfg)
+    model = ChunkFormerModel(cfg, params)
+    c, L, R = 8, 16, 16
+    dur = 60
+    trunc, rel_right, step_raw, *_ = model._endless_sizing(c, R, dur)
+    sub = cfg.encoder_conf.subsampling_rate
+    size = (c - 1) * sub + 15
+    # remainder needing exactly bucket+1 chunks: ceil((x-size)/(sub*c))+1 = 9
+    x_last = size + 7 * sub * c + 1  # 527 for c=8: floor->8, ceil->9
+    n = 2 * step_raw + x_last
+    feats = np.random.default_rng(13).normal(size=(n, 80)).astype(np.float32)
+    model.host_segments = True
+    ref = model.endless_encode_tokens(feats, c, L, R, dur)
+    model.host_segments = False
+    got = model.endless_encode_tokens(feats, c, L, R, dur)
+    assert ref.shape == got.shape
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_scan_path_matches_host_loop():
     """The fused device-scan segment loop must be token-exact vs the
     host-driven per-segment loop, across segment-boundary edge cases."""
