@@ -1,24 +1,32 @@
-"""Benchmark: masked-batch encoder + CTC decode throughput on one TPU chip.
+"""Benchmark: ChunkFormer-large inference + training throughput on one TPU chip.
 
-Prints ONE JSON line:
-  {"metric": "audio_seconds_per_second", "value": N, "unit": "audio-s/s",
-   "vs_baseline": N, "device_step_audio_s_per_s": N, "mfu": N, ...}
+Prints milestone JSON lines to stdout (progress goes to stderr); each line is a
+complete, parseable result and strictly extends the previous one, so a driver
+timeout still records whatever finished:
+  1. {"metric": "audio_seconds_per_second", "value": N, ...}              (e2e)
+  2. + {"device_step_audio_s_per_s": N, "mfu": N}              (device kernels)
+  3. + {"train_audio_s_per_s": N, "train_mfu": N}                 (train step)
 
-The workload mirrors the reference's headline path
+The inference workload mirrors the reference's headline path
 (reference: chunkformer/chunkformer_model.py:320-459 endless_decode): a
 long-form audio stream is packed into chunk rows (chunk=64, L=R=128) and
 streamed through the ChunkFormer-large encoder (512d/8h/17 blocks) in
 macro-segments with carried caches, then CTC-argmaxed.
 
-Three numbers are reported so the device kernels can be judged separately
-from the host->device link (VERDICT r1 weak-item 3):
 - value: end-to-end audio-seconds per wall-second (includes int8 feature
   quantize + upload + token download), best of 3.
 - device_step_audio_s_per_s: the jitted segment-scan program alone on
   device-resident buffers (what a production pipeline with overlapped
-  uploads approaches).
-- mfu: measured device FLOP/s over the chip's peak bf16 FLOP/s, with FLOPs
-  taken from XLA's own cost analysis of the compiled program.
+  uploads approaches). Reuses the exact program the e2e pass compiled.
+- mfu: analytic model FLOP/s over the chip's peak bf16 FLOP/s.
+- train_audio_s_per_s / train_mfu: flagship hybrid CTC/AED train step
+  (loss + grads + adamw update, bf16 compute / f32 params, chunked
+  (64,128,128) dynamic-chunk branch) on one chip
+  (reference loop: utils/executor.py:44, loss: modules/asr_model.py:77-171).
+
+All XLA/Mosaic compilation goes through a repo-local persistent cache
+(.xla_cache, committed) so the driver's budget pays ~zero compile time
+(VERDICT r3 item 1).
 
 vs_baseline divides end-to-end by 1000 audio-s/s — a nominal reference-GPU
 figure for conformer-large chunked inference (the reference publishes
@@ -27,11 +35,13 @@ capacity numbers, not throughput; see BASELINE.md).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 BASELINE_AUDIO_SECONDS_PER_S = 1000.0
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 # peak dense bf16 TFLOP/s per chip (public figures); device_kind -> TFLOP/s
 PEAK_BF16_TFLOPS = {
@@ -51,6 +61,18 @@ def _peak_tflops(device) -> float:
         if kind.startswith(name) or name in kind:
             return peak
     return 197.0  # conservative default (v5e)
+
+
+def _log(msg: str) -> None:
+    print(f"[bench +{time.perf_counter() - T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
+
+
+T0 = time.perf_counter()
 
 
 def encoder_flops_per_audio_second(cfg, c: int, left: int, right: int,
@@ -92,9 +114,92 @@ def encoder_flops_per_audio_second(cfg, c: int, left: int, right: int,
     return layers + sub + ctc
 
 
+def decoder_flops_per_step(cfg, batch: int, u: int, enc_t: int) -> float:
+    """Analytic forward FLOPs of the (bi)transformer AED decoder for one
+    train step: self-attn + cross-attn + FFN per layer + vocab projection,
+    summed over the left and right decoders (reference: modules/decoder.py)."""
+    dc = cfg.decoder_conf
+    d, ff, v = cfg.encoder_conf.output_size, dc.linear_units, cfg.vocab_size
+    n_layers = dc.num_blocks + dc.r_num_blocks
+    per_layer = (
+        8 * d * d * u            # self-attn qkvo projections
+        + 4 * u * u * d          # self-attn scores + context
+        + 4 * d * d * u          # cross-attn q,o projections
+        + 4 * d * d * enc_t      # cross-attn k,v projections over encoder out
+        + 4 * u * enc_t * d      # cross-attn scores + context
+        + 4 * d * ff * u         # FFN (two linears)
+    )
+    return batch * (n_layers * per_layer + 2 * d * v * u * 2)  # 2 vocab heads
+
+
+def _prepare_train(jax, c: int, left: int, right: int):
+    """Build + AOT-compile the flagship hybrid CTC/AED train step
+    (encoder + bitransformer decoder, chunked (c,L,R) dynamic-chunk branch,
+    bf16 compute / f32 params+opt, adamw). Runs on a worker thread so the
+    compile overlaps the e2e warmup compile."""
+    import jax.numpy as jnp
+
+    from chunkformer_tpu.config import ChunkFormerConfig
+    from chunkformer_tpu.models.asr import init_asr_model
+    from chunkformer_tpu.train.optim import build_optimizer
+    from chunkformer_tpu.train.train_step import (create_train_state,
+                                                  make_train_step)
+    from chunkformer_tpu.utils.params import random_params_like
+
+    train_cfg = ChunkFormerConfig.from_dict({
+        "model": "asr_model",
+        "encoder_conf": {
+            "output_size": 512, "attention_heads": 8, "linear_units": 2048,
+            "num_blocks": 17, "cnn_module_kernel": 15,
+            "cnn_module_norm": "layer_norm", "dynamic_conv": True,
+            "gradient_checkpointing": True,
+        },
+        "decoder": "bitransformer",
+        "decoder_conf": {"attention_heads": 8, "linear_units": 2048,
+                         "num_blocks": 3, "r_num_blocks": 3},
+        "model_conf": {"ctc_weight": 0.3, "reverse_weight": 0.3,
+                       "lsm_weight": 0.1},
+        "output_dim": 6992,
+    })
+    t_params = random_params_like(lambda k: init_asr_model(k, train_cfg),
+                                  seed=1)
+    optimizer, _ = build_optimizer("adamw", {"lr": 1e-3}, "warmuplr",
+                                   {"warmup_steps": 25000})
+    train_step = jax.jit(
+        make_train_step(train_cfg, optimizer, chunk_cfg=(c, left, right)),
+        donate_argnums=(0,))
+    state = create_train_state(jax.tree.map(jnp.asarray, t_params), optimizer)
+
+    b, t_frames, u = 16, 1600, 48  # 16 utts x 16 s = 256 audio-s per step
+    rng = np.random.default_rng(2)
+    t_feats = jnp.asarray(rng.normal(size=(b, t_frames, 80)), jnp.bfloat16)
+    t_lens = jnp.full((b,), t_frames, jnp.int32)
+    targets = jnp.asarray(rng.integers(1, train_cfg.vocab_size - 2,
+                                       size=(b, u)), jnp.int32)
+    tgt_lens = jnp.full((b,), u, jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    # one warmup call on this thread compiles AND warms the jit call cache
+    # (state is donated; pass the returned state to the timed steps)
+    state, metrics = train_step(state, t_feats, t_lens, targets, tgt_lens, key)
+    jax.block_until_ready(metrics["loss"])
+    _log("train-step program ready")
+    return (train_cfg, train_step, state, t_feats, t_lens, targets, tgt_lens,
+            key, b, t_frames, u)
+
+
 def main():
     profile_dir = os.environ.get("CHUNKFORMER_PROFILE_DIR")
     import jax
+
+    # persistent compilation cache: the driver's bench budget must not repay
+    # XLA/Mosaic compile time for programs already built (VERDICT r3 item 1)
+    cache_dir = os.path.join(REPO, ".xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     import jax.numpy as jnp
 
     from chunkformer_tpu.config import ChunkFormerConfig
@@ -102,6 +207,10 @@ def main():
     from chunkformer_tpu.api import ChunkFormerModel
     from chunkformer_tpu.nn.encoder import init_caches
     from chunkformer_tpu.ops import chunk as chunk_ops
+    from chunkformer_tpu.utils.params import random_params_like
+
+    dev = jax.devices()[0]
+    _log(f"device: {dev.device_kind}")
 
     cfg = ChunkFormerConfig.from_dict({
         "model": "asr_model",
@@ -113,8 +222,6 @@ def main():
         "output_dim": 6992,
     })
     # synthesize random params on host (remote-compiling the init graph is slow)
-    from chunkformer_tpu.utils.params import random_params_like
-
     params = random_params_like(lambda k: init_asr_model(k, cfg))
     model = ChunkFormerModel(cfg, params, char_dict=None, dtype=jnp.bfloat16)
 
@@ -124,13 +231,29 @@ def main():
     # recomputed audio per segment at flagship settings) and fixed costs
     tbd = 1800  # total_batch_duration (s)
 
-    # synthetic 30-minute stream of fbank features (10 ms frames)
-    audio_seconds = 1800.0
+    # synthetic ~30-minute stream of fbank features (10 ms frames): exactly
+    # two macro-segment steps (2 x 896 s), so the whole e2e path runs through
+    # ONE compiled block program (no reduced-capacity tail program) and the
+    # device-step stage below reuses that same program — the driver's budget
+    # pays for a single big XLA compile
+    audio_seconds = 1792.0
     n_frames = int(audio_seconds * 100)
     feats = np.random.default_rng(0).normal(size=(n_frames, 80)).astype(np.float32)
 
-    # warmup (compiles the segment-scan programs for this length class)
+    # ---------------- stage 3 compile, started early -----------------------
+    # The train-step program compiles CONCURRENTLY with the e2e warmup: the
+    # two big XLA compiles overlap, so cold-start wall time is ~max of the
+    # two, not the sum (the compile service runs them in parallel; the GIL is
+    # released during compilation).
+    from concurrent.futures import ThreadPoolExecutor
+
+    train_pool = ThreadPoolExecutor(max_workers=1)
+    train_fut = train_pool.submit(_prepare_train, jax, c, left, right)
+
+    # ---------------- stage 1: end-to-end endless decode -------------------
+    _log("e2e warmup (compile or cache-load the block scan programs)")
     model.endless_encode_tokens(feats, c, left, right, total_batch_duration=tbd)
+    _log("e2e warmup done; timing 3 reps")
 
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
@@ -147,23 +270,37 @@ def main():
     assert tokens.shape[0] > 0
     e2e = audio_seconds / elapsed
 
-    # ---------------- device-step-only: the jitted 8-segment scan program on
-    # device-resident buffers (no quantize/upload/download on the timed path)
+    result = {
+        "metric": "audio_seconds_per_second",
+        "value": round(e2e, 2),
+        "unit": "audio-s/s",
+        "vs_baseline": round(e2e / BASELINE_AUDIO_SECONDS_PER_S, 3),
+        "device_kind": getattr(dev, "device_kind", "unknown"),
+    }
+    _emit(result)
+    _log(f"e2e: {e2e:.1f} audio-s/s")
+
+    # ---------------- stage 2: device-step-only ----------------------------
+    # Time the 2-segment scan program the e2e pass already compiled, on
+    # device-resident buffers (no quantize/upload/download on the timed path).
     enc = cfg.encoder_conf
     sub = enc.subsampling_rate
     trunc, rel_right, step_raw, seg_raw, capacity = model._endless_sizing(
         c, right, tbd)
-    n_seg = 4
+    n_seg = 2
     size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
     span = (capacity - 1) * (sub * c) + size
     buf_len = (n_seg - 1) * step_raw + span
-    buf = np.zeros((buf_len, 80), np.int8)
-    buf[: min(buf_len, n_frames)] = np.clip(
-        feats[:buf_len] * 16, -127, 127).astype(np.int8)
+    buf = np.clip(feats[:buf_len] * 16, -127, 127).astype(np.int8)
+    if buf.shape[0] < buf_len:
+        buf = np.concatenate(
+            [buf, np.zeros((buf_len - buf.shape[0], 80), np.int8)])
     feats_dev = jax.device_put(buf)
     run = model._endless_scan_fn(c, left, right, capacity, trunc, rel_right,
                                  n_seg, mode="tokens")
-    t_total_dev = jnp.asarray(n_seg * step_raw, jnp.int32)
+    # t_total covers the whole buffer, so neither segment hits the is_last
+    # branch and both keep the full trunc frames
+    t_total_dev = jnp.asarray(buf_len, jnp.int32)
     scale_dev = jnp.asarray(1.0 / 16.0, jnp.float32)
 
     def one_call(att, cnn):
@@ -174,9 +311,9 @@ def main():
         return ys, att, cnn
 
     att, cnn = init_caches(enc, left, dtype=jnp.bfloat16)
-    ys, att, cnn = one_call(att, cnn)  # warm (already compiled in e2e pass)
+    ys, att, cnn = one_call(att, cnn)  # warm (compiled in the e2e pass)
     jax.block_until_ready(ys)
-    n_rep = 5
+    n_rep = 6
     t0 = time.perf_counter()
     for _ in range(n_rep):
         ys, att, cnn = one_call(att, cnn)
@@ -185,22 +322,54 @@ def main():
     seg_audio_s = n_seg * step_raw / 100.0  # 10 ms raw frames
     dev_rate = seg_audio_s / dev_elapsed
 
-    # ---------------- MFU from the analytic model FLOP count
+    # MFU from the analytic model FLOP count
     flops_per_audio_s = encoder_flops_per_audio_second(cfg, c, left, right,
                                                        cfg.vocab_size)
-    peak = _peak_tflops(jax.devices()[0]) * 1e12
+    peak = _peak_tflops(dev) * 1e12
     mfu = round(flops_per_audio_s * dev_rate / peak, 4)
 
-    print(json.dumps({
-        "metric": "audio_seconds_per_second",
-        "value": round(e2e, 2),
-        "unit": "audio-s/s",
-        "vs_baseline": round(e2e / BASELINE_AUDIO_SECONDS_PER_S, 3),
+    result.update({
         "device_step_audio_s_per_s": round(dev_rate, 2),
         "mfu": mfu,
         "flops_per_audio_s": round(flops_per_audio_s),
-        "device_kind": getattr(jax.devices()[0], "device_kind", "unknown"),
-    }))
+    })
+    _emit(result)
+    _log(f"device step: {dev_rate:.1f} audio-s/s, mfu {mfu}")
+
+    # ---------------- stage 3: train step ----------------------------------
+    _log("waiting on the train-step program (compiling since startup)")
+    (train_cfg, train_step, state, t_feats, t_lens, targets, tgt_lens,
+     key, b, t_frames, u) = train_fut.result()
+    train_pool.shutdown()
+    _log("train program ready; timing 5 steps")
+    n_steps = 5
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, t_feats, t_lens, targets, tgt_lens,
+                                    key)
+    jax.block_until_ready(metrics["loss"])
+    step_s = (time.perf_counter() - t0) / n_steps
+    train_audio_s = b * t_frames * 0.01
+    train_rate = train_audio_s / step_s
+
+    # fwd+bwd ~= 3x forward FLOPs, +1x encoder forward recomputed under remat
+    # (gradient_checkpointing); decoder forward counted per step at the
+    # subsampled encoder length
+    enc_t = int(chunk_ops.calc_length(t_frames))
+    enc_fwd = encoder_flops_per_audio_second(train_cfg, c, left, right,
+                                             train_cfg.vocab_size)
+    dec_fwd = decoder_flops_per_step(train_cfg, b, u + 1, enc_t)
+    train_flops_per_step = 4.0 * enc_fwd * train_audio_s + 3.0 * dec_fwd
+    train_mfu = round(train_flops_per_step / step_s / peak, 4)
+
+    result.update({
+        "train_audio_s_per_s": round(train_rate, 2),
+        "train_mfu": train_mfu,
+        "train_loss": round(float(metrics["loss"]), 3),
+    })
+    _emit(result)
+    _log(f"train: {train_rate:.1f} audio-s/s, mfu {train_mfu}; "
+         f"total wall {time.perf_counter() - T0:.1f}s")
 
 
 if __name__ == "__main__":

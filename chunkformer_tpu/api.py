@@ -53,17 +53,37 @@ def read_symbol_table(path: str) -> Dict[str, int]:
 
 
 def load_cmvn_file(path: str, is_json: bool = True):
-    """Global CMVN stats file -> (mean, istd) (reference: utils/cmvn.py)."""
+    """Global CMVN stats file -> (mean, istd) (reference: utils/cmvn.py:23-89).
+
+    Two on-disk formats, as in the reference: the JSON stats written by
+    tools/compute_cmvn_stats.py, and the kaldi-text global-cmvn matrix
+    ``[ m_1..m_D count  v_1..v_D 0 ]`` produced by
+    ``compute-cmvn-stats --binary=false`` (row 1: per-dim feature sums plus
+    the frame count; row 2: per-dim squared sums plus a trailing 0).
+    """
     import json
 
-    with open(path) as f:
-        if is_json:
+    if is_json:
+        with open(path) as f:
             stats = json.load(f)
-        else:
-            raise NotImplementedError("kaldi-format cmvn: use json export")
-    mean_stat = np.asarray(stats["mean_stat"], dtype=np.float64)
-    var_stat = np.asarray(stats["var_stat"], dtype=np.float64)
-    count = stats["frame_num"]
+        mean_stat = np.asarray(stats["mean_stat"], dtype=np.float64)
+        var_stat = np.asarray(stats["var_stat"], dtype=np.float64)
+        count = stats["frame_num"]
+    else:
+        with open(path, "rb") as f:
+            if f.read(2) == b"\0B":
+                raise ValueError(
+                    "binary kaldi cmvn is not supported; regenerate with "
+                    "compute-cmvn-stats --binary=false")
+        toks = open(path, "r", encoding="utf-8").read().split()
+        if not (toks and toks[0] == "[" and toks[-1] == "]"):
+            raise ValueError(f"malformed kaldi cmvn matrix in {path}")
+        vals = np.asarray([float(t) for t in toks[1:-1]], dtype=np.float64)
+        if vals.size % 2 != 0:
+            raise ValueError(f"kaldi cmvn stats in {path} are not 2x(D+1)")
+        dim = vals.size // 2 - 1
+        mean_stat, count = vals[:dim], vals[dim]
+        var_stat = vals[dim + 1:2 * dim + 1]
     mean = mean_stat / count
     var = var_stat / count - mean * mean
     var = np.maximum(var, 1e-20)
@@ -145,7 +165,15 @@ class ChunkFormerModel:
             for name in ("global_cmvn", "global_cmvn.json"):
                 p = os.path.join(model_dir, name)
                 if os.path.exists(p):
-                    mean, istd = load_cmvn_file(p)
+                    # config declares the format (cmvn_conf.is_json_cmvn,
+                    # reference init_model.py:65); fall back to sniffing the
+                    # first byte ("{" = json, "[" = kaldi-text matrix)
+                    is_json = config.cmvn_conf.get("is_json_cmvn")
+                    if is_json is None:
+                        with open(p, "rb") as f:
+                            head = f.read(16).lstrip()
+                        is_json = head.startswith(b"{")
+                    mean, istd = load_cmvn_file(p, is_json=bool(is_json))
                     params["encoder"]["cmvn"] = {"mean": mean, "istd": istd}
                     break
 

@@ -36,7 +36,52 @@ def parse_args(argv=None):
     p.add_argument("--blank_penalty", type=float, default=0.0)
     p.add_argument("--context_list", default=None, help="hotword file")
     p.add_argument("--context_score", type=float, default=6.0)
+    p.add_argument("--simulate_streaming", action="store_true",
+                   help="encode chunk-by-chunk through the streaming step "
+                        "(reference: bin/recognize.py --simulate_streaming -> "
+                        "encoder.forward_chunk_by_chunk)")
     return p.parse_args(argv)
+
+
+def _streaming_encode(model, xs, lens, c: int, left: int, right: int):
+    """Batch chunk-by-chunk encode via ``encoder_streaming_step``.
+
+    Validates streaming WER offline: identical per-layer KV/conv cache flow
+    as the realtime app, but over a padded feature batch. The reference
+    decodes one utterance at a time through `forward_chunk_by_chunk`
+    (encoder.py:387-459); here all utterances in the batch step together.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..nn.encoder import encoder_streaming_step, init_caches
+    from ..ops.chunk import calc_length, reverse_calc_length
+
+    cfg = model.config.encoder_conf
+    sub = cfg.subsampling_rate
+    b, t, f = xs.shape
+    att, cnn = init_caches(cfg, left, batch=b, dtype=model.dtype)
+    frames_in = reverse_calc_length(c) + right * sub
+    stride = c * sub
+    key = ("sim_stream", c, left, right, frames_in, b)
+    if key not in model._jit_cache:
+        model._jit_cache[key] = jax.jit(
+            lambda p, x, a, cn, off: encoder_streaming_step(
+                p["encoder"], cfg, x, a, cn, c, left, right, off),
+            donate_argnums=(2, 3))
+    step = model._jit_cache[key]
+
+    n_out = int(calc_length(t))
+    out_parts = []
+    for s in range(max(1, -(-n_out // c))):
+        win = np.zeros((b, frames_in, f), np.float32)
+        seg = xs[:, s * stride: s * stride + frames_in]
+        win[:, : seg.shape[1]] = seg
+        out, att, cnn = step(model.params, jnp.asarray(win, model.dtype),
+                             att, cnn, jnp.asarray(s * c, jnp.int32))
+        out_parts.append(np.asarray(out[:, :c], np.float32))
+    enc_out = np.concatenate(out_parts, axis=1)[:, :n_out]
+    return jnp.asarray(enc_out), calc_length(lens)
 
 
 def main(argv=None):
@@ -79,8 +124,16 @@ def main(argv=None):
         for j, f in enumerate(feats):
             xs[j, : f.shape[0]] = f
             lens[j] = f.shape[0]
-        enc_out, enc_lens = model.encode(xs, lens, args.chunk_size,
-                                         args.left_context_size, args.right_context_size)
+        if args.simulate_streaming:
+            if args.chunk_size <= 0:
+                raise SystemExit("--simulate_streaming requires --chunk_size > 0")
+            enc_out, enc_lens = _streaming_encode(
+                model, xs, lens, args.chunk_size,
+                max(args.left_context_size, 0),
+                max(args.right_context_size, 0))
+        else:
+            enc_out, enc_lens = model.encode(xs, lens, args.chunk_size,
+                                             args.left_context_size, args.right_context_size)
         enc_lens = np.asarray(enc_lens)
         logp = None
         if "ctc" in model.params:

@@ -153,10 +153,12 @@ def convert_decoder(sd: Dict[str, Any], cfg: ChunkFormerConfig,
         return p
 
     if dec.decoder_type == "bitransformer":
-        return {
-            "left": one_side(f"{prefix}left_decoder.", dec.num_blocks),
-            "right": one_side(f"{prefix}right_decoder.", dec.r_num_blocks),
-        }
+        out = {"left": one_side(f"{prefix}left_decoder.", dec.num_blocks)}
+        # r_num_blocks == 0 is a valid reference config (decoder.py:335-383
+        # with no right-to-left layers); init_decoder omits "right" then too
+        if dec.r_num_blocks > 0:
+            out["right"] = one_side(f"{prefix}right_decoder.", dec.r_num_blocks)
+        return out
     return {"left": one_side(prefix, dec.num_blocks)}
 
 

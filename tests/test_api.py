@@ -133,3 +133,37 @@ def test_resolve_model_dir_hub(monkeypatch, tmp_path):
     out = ChunkFormerModel._resolve_model_dir("khanhld/chunkformer-ctc-large-vie")
     assert out == "/tmp/fake_snapshot"
     assert calls["repo_id"] == "khanhld/chunkformer-ctc-large-vie"
+
+
+def test_kaldi_text_cmvn_parse(tmp_path):
+    """kaldi-text global cmvn (`compute-cmvn-stats --binary=false`) must parse
+    to the same (mean, istd) as the json stats (reference: utils/cmvn.py:47-89
+    reads both formats)."""
+    from chunkformer_tpu.api import load_cmvn_file
+
+    rng = np.random.default_rng(0)
+    dim, count = 8, 1000.0
+    mean_stat = rng.normal(size=dim) * count
+    var_stat = (rng.random(dim) + 1.0) * count
+
+    import json
+
+    jp = tmp_path / "global_cmvn.json"
+    jp.write_text(json.dumps({"mean_stat": mean_stat.tolist(),
+                              "var_stat": var_stat.tolist(),
+                              "frame_num": count}))
+    kp = tmp_path / "global_cmvn"
+    row1 = " ".join(str(v) for v in mean_stat) + f" {count}"
+    row2 = " ".join(str(v) for v in var_stat) + " 0"
+    kp.write_text(f" [ {row1} \n  {row2} ]\n")
+
+    m_j, s_j = load_cmvn_file(str(jp), is_json=True)
+    m_k, s_k = load_cmvn_file(str(kp), is_json=False)
+    np.testing.assert_allclose(m_j, m_k, rtol=1e-6)
+    np.testing.assert_allclose(s_j, s_k, rtol=1e-6)
+
+    # binary kaldi files are rejected with a clear message, not mis-parsed
+    bp = tmp_path / "global_cmvn_bin"
+    bp.write_bytes(b"\0B garbage")
+    with pytest.raises(ValueError, match="binary"):
+        load_cmvn_file(str(bp), is_json=False)

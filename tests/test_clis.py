@@ -176,3 +176,44 @@ def test_train_cli_smoke(tmp_path):
     assert os.path.exists(exp / "epoch_0.yaml")
     assert os.path.exists(exp / "train.yaml")
     assert os.path.exists(exp / "metrics.jsonl")
+
+
+def test_recognize_cli_simulate_streaming(tmp_path, tmp_path_factory):
+    """--simulate_streaming decodes through the streaming encoder step
+    (reference: bin/recognize.py --simulate_streaming ->
+    encoder.forward_chunk_by_chunk). With R=0 and the same (c, L) the
+    chunked batch encode and the streaming step see identical context, so
+    the transcripts must agree."""
+    import wave
+
+    d = tmp_path_factory.mktemp("sim_model")
+    make_model_dir(str(d))
+    wav_dir = tmp_path_factory.mktemp("sim_wavs")
+    rng = np.random.default_rng(1)
+    lines = []
+    for i, dur_s in enumerate((1.4, 0.9)):
+        p = wav_dir / f"utt{i}.wav"
+        pcm = (rng.normal(size=int(16000 * dur_s)) * 3000).astype(np.int16)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        lines.append(f"utt{i}\t{p}\tmột hai")
+    test_list = wav_dir / "test.list"
+    test_list.write_text("\n".join(lines) + "\n")
+
+    common = ["chunkformer_tpu.bin.recognize",
+              "--model_checkpoint", str(d),
+              "--test_data", str(test_list),
+              "--modes", "ctc_greedy_search",
+              "--chunk_size", "8", "--left_context_size", "16",
+              "--right_context_size", "0"]
+    out = _run(common + ["--simulate_streaming",
+                         "--result_dir", str(tmp_path / "stream")])
+    assert out.returncode == 0, out.stderr[-2000:]
+    out2 = _run(common + ["--result_dir", str(tmp_path / "batch")])
+    assert out2.returncode == 0, out2.stderr[-2000:]
+    got = (tmp_path / "stream" / "ctc_greedy_search.txt").read_text()
+    want = (tmp_path / "batch" / "ctc_greedy_search.txt").read_text()
+    assert got == want

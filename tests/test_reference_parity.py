@@ -413,3 +413,120 @@ def test_classification_forward_parity():
                                 jnp.asarray(feats), jnp.asarray(lens))
     for name in logits_t:
         _close(logits_j[name], logits_t[name], atol=3e-4)
+
+
+# ---------------------------------------------------------------- flagship scale
+
+FLAGSHIP_YAML = {
+    "model": "asr_model",
+    "encoder": "chunkformer",
+    "encoder_conf": {
+        "output_size": 512, "attention_heads": 8, "linear_units": 2048,
+        "num_blocks": 17, "cnn_module_kernel": 15,
+        "cnn_module_norm": "layer_norm", "dynamic_conv": True,
+        "dropout_rate": 0.0, "positional_dropout_rate": 0.0,
+        "attention_dropout_rate": 0.0,
+    },
+    "decoder": "bitransformer",
+    "decoder_conf": {"attention_heads": 8, "linear_units": 256, "num_blocks": 1,
+                     "r_num_blocks": 0, "dropout_rate": 0.0},
+    "ctc_conf": {"ctc_blank_id": 0},
+    "model_conf": {"ctc_weight": 1.0, "lsm_weight": 0.1, "reverse_weight": 0.0},
+    "output_dim": 128,
+}
+
+
+@pytest.mark.slow
+def test_flagship_scale_endless_parity():
+    """Exported-model-scale parity: 512d/8h/17-block forward_parallel_chunk
+    across 2 cache-carrying macro segments vs the reference torch encoder
+    (reference: modules/encoder.py:503-681 at the chunkformer-large shape).
+
+    Tiny-model agreement does not bound error compounding across 17x512d
+    layers; this is the offline stand-in for the (network-gated) Hub WER
+    tests. Also bounds the bf16 numeric policy: running the same segments in
+    bf16 must flip < 1% of CTC argmax tokens vs the f32 path and stay within
+    bf16-accumulation error on encoder outputs (justifies the bf16-compute
+    default in api.py endless decode at WER level).
+    """
+    yaml_dict = copy.deepcopy(FLAGSHIP_YAML)
+    cfg = ChunkFormerConfig.from_dict(yaml_dict)
+    enc_cfg = cfg.encoder_conf
+    sd = make_reference_state_dict(cfg)
+    ref = build_reference_model(yaml_dict, sd)
+    params = convert_checkpoint({k: v.numpy() for k, v in sd.items()}, cfg)
+
+    c, L, R = 16, 32, 16
+    sub, n_blocks = 8, enc_cfg.num_blocks
+    lorder = enc_cfg.conv_lorder
+    trunc = c * 2
+    r_prime = max(R, lorder)
+    rel_right = (r_prime + max(c, r_prime) * (n_blocks - 1)) * sub  # 2176
+
+    t_total = 2430  # 2 macro segments at step=trunc*sub=256
+    feats = np.random.default_rng(17).normal(size=(t_total, 80)).astype(np.float32)
+
+    att_t = torch.zeros((n_blocks, L, enc_cfg.attention_heads, enc_cfg.head_dim * 2))
+    cnn_t = torch.zeros((n_blocks, enc_cfg.output_size, lorder))
+    offset_t = torch.zeros(1, dtype=torch.long)
+    att_j, cnn_j = init_caches(enc_cfg, L)
+    att_b, cnn_b = init_caches(enc_cfg, L, dtype=jnp.bfloat16)
+    params_b = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    offset_j = 0
+
+    n_seg = 0
+    flips = total = 0
+    for idx, start in enumerate(range(0, t_total, trunc * sub)):
+        end = min(start + trunc * sub + 7, t_total)
+        x = feats[start:min(end + rel_right, t_total)]
+        x_len = len(x)
+        with torch.no_grad():
+            out_t, enc_len_t, _, att_t, cnn_t, offset_t = ref.encoder.forward_parallel_chunk(
+                xs=[torch.from_numpy(x)],
+                xs_origin_lens=torch.tensor([x_len]),
+                chunk_size=c, left_context_size=L, right_context_size=R,
+                att_cache=att_t, cnn_cache=cnn_t,
+                truncated_context_size=trunc, offset=offset_t)
+        flat_t = out_t.reshape(-1, enc_cfg.output_size)[: int(enc_len_t)]
+
+        packed = chunk_ops.pack_chunks([x], [x_len], c, offsets=[offset_j])
+        args = (jnp.asarray(packed.chunk_idx), jnp.asarray(packed.offsets),
+                jnp.asarray(packed.max_lens), c, L, R)
+        out_j, att_j, cnn_j = encoder_parallel_chunk(
+            params["encoder"], enc_cfg, jnp.asarray(packed.xs), *args[:3],
+            *args[3:], att_j, cnn_j, trunc)
+        out_b, att_b, cnn_b = encoder_parallel_chunk(
+            params_b["encoder"], enc_cfg,
+            jnp.asarray(packed.xs, jnp.bfloat16), *args[:3],
+            *args[3:], att_b, cnn_b, trunc)
+        n_keep = int(packed.out_lens[0])
+        flat_j = np.asarray(out_j).reshape(-1, enc_cfg.output_size)[:n_keep]
+        flat_b = np.asarray(out_b.astype(jnp.float32)).reshape(
+            -1, enc_cfg.output_size)[:n_keep]
+
+        last = trunc * sub * idx + rel_right >= t_total
+        if not last:
+            flat_t, flat_j, flat_b = flat_t[:trunc], flat_j[:trunc], flat_b[:trunc]
+        offset_t = offset_t - int(enc_len_t) + flat_t.shape[0]
+        offset_j += flat_j.shape[0]
+        assert flat_j.shape == tuple(flat_t.shape)
+        # f32 parity at 17x512d: per-layer f32 accumulation noise compounds
+        # roughly with depth; 2e-3 on unit-scale activations ~= the tiny
+        # model's 2e-4 scaled by sqrt-depth growth
+        np.testing.assert_allclose(flat_j, flat_t.numpy(), atol=2e-3, rtol=1e-2)
+
+        # bf16 token-flip rate vs the f32 path through the CTC head
+        from chunkformer_tpu.models.asr import ctc_argmax
+
+        tok_f = np.asarray(ctc_argmax(params["ctc"], jnp.asarray(flat_j)[None]))[0]
+        tok_b = np.asarray(ctc_argmax(params["ctc"], jnp.asarray(flat_b)[None]))[0]
+        flips += int((tok_f != tok_b).sum())
+        total += tok_f.shape[0]
+
+        n_seg += 1
+        if last:
+            break
+
+    assert n_seg >= 2, "need >=2 cache-carrying segments at flagship scale"
+    assert total > 0
+    assert flips / total < 0.01, f"bf16 flipped {flips}/{total} tokens"
