@@ -98,26 +98,12 @@ def _embed_packed(p: Params, cfg: EncoderConfig, xs: jnp.ndarray,
                   use_pallas: bool, pallas_interpret: bool = False) -> jnp.ndarray:
     """_embed for packed chunk rows.
 
-    The fused Pallas subsampling frontend (ops/pallas/subsampling.py) is
-    opt-in via CHUNKFORMER_FUSED_SUBSAMPLING=1: on the current toolchain it
-    measures ~2x SLOWER than the XLA im2col stack at the flagship segment
-    shape ([96, 519, 80]: 15.5 ms vs 7.7 ms on v5e) — its sparse-as-dense
-    conv0 tap matmul inflates FLOPs ~19x and the (N, n_sub) grid pays
-    per-cell overhead ~384 times. The XLA path is the production default."""
-    size = xs.shape[1]
-    c_out = (size - 7) // cfg.subsampling_rate
-    fused_ok = (use_pallas and cfg.subsampling_rate == 8
-                and os.environ.get("CHUNKFORMER_FUSED_SUBSAMPLING", "0") == "1"
-                and (c_out - 1) * 8 + 15 == size and c_out % 16 == 0
-                and p["embed"]["conv0"]["w"].shape[0] == cfg.output_size)
-    if not fused_ok:
-        return _embed(p, cfg, xs)
-    from ..ops.pallas.subsampling import subsampling_fused
-
-    x = _apply_cmvn(p, xs)
-    x = subsampling_fused(p["embed"], x, cfg.input_size,
-                          interpret=pallas_interpret)
-    return x * math.sqrt(cfg.output_size)
+    A fused Pallas subsampling frontend was tried and removed (round-3/4
+    measurement on v5e, flagship segment shape [96, 519, 80]: 15.5 ms fused
+    vs 7.7 ms XLA im2col — the sparse-as-dense conv0 tap matmul inflates
+    FLOPs ~19x and the (N, n_sub) grid pays per-cell overhead ~384 times).
+    The XLA im2col stack in nn/subsampling.py is the production path."""
+    return _embed(p, cfg, xs)
 
 
 def _use_layer_norm(cfg: EncoderConfig) -> bool:

@@ -95,16 +95,25 @@ def _conv0_fma(p: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _depthwise3x3_s2(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """[N, T, F, C] -> [N, To, Fo, C]: 9 broadcast FMAs on the VPU (channels
-    ride the lane axis; a grouped lax.conv in NCHW measured ~10x slower)."""
-    w = p["w"][:, 0].astype(jnp.float32)                   # [C, 3, 3]
-    acc = None
-    for dt, df, sl in _taps(x, 2, 2):
-        term = sl.astype(jnp.float32) * w[:, dt, df]
-        acc = term if acc is None else acc + term
+    """[N, T, F, C] -> [N, To, Fo, C]: grouped lax.conv in NHWC.
+
+    Measured on v5e at the flagship segment shape: the XLA NHWC depthwise
+    conv emitter beats the 9-strided-slice VPU FMA formulation ~2-3x
+    (dw1 9.3 -> 4.4 ms, dw2 10.0 -> 3.1 ms) — each stride-2 slice on the
+    small sublane (freq) axis forced a relayout pass, and upstream producers
+    got re-fused (recomputed) into every tap. NCHW, for the record, was ~10x
+    slower than either."""
+    w = p["w"][:, 0].transpose(1, 2, 0)[:, :, None, :].astype(x.dtype)  # [3,3,1,C]
+    # no preferred_element_type: an f32 upcast here breaks the conv VJP under
+    # bf16 (the cotangent arrives f32 against bf16 weights), and the TPU conv
+    # emitter accumulates the 9 taps in f32 internally regardless
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(2, 2), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=x.shape[-1])
     if "b" in p:
-        acc = acc + p["b"].astype(jnp.float32)
-    return acc.astype(x.dtype)
+        y = y + p["b"].astype(x.dtype)
+    return y
 
 
 def _pointwise(p: Params, x: jnp.ndarray) -> jnp.ndarray:

@@ -1,6 +1,7 @@
 """Long-form decode scaling: many macro-segments, one compiled program,
 bounded memory — the 16-hour-audio property at test scale."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -177,3 +178,61 @@ def test_rnnt_host_segments_fallback():
     host = model.endless_rnnt_tokens(feats, c, L, R, dur)
     model.host_segments = False
     np.testing.assert_array_equal(fused, host)
+
+
+@pytest.mark.slow
+def test_constant_memory_multihour():
+    """The 16-hour headline property (reference README.md:38) at test scale:
+    2 hours of synthetic features stream through endless decode with BOUNDED
+    device memory — per-block live device bytes stay flat (params + caches +
+    fixed-shape block buffers; only the token outputs grow, ~4 B per
+    subsampled frame), and the block plan reuses the same compiled programs
+    regardless of total duration. 16 h is the same loop with more blocks."""
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    model = ChunkFormerModel(cfg, params)
+    c, L, R = 8, 16, 16
+
+    audio_s = 7200.0  # 2 hours
+    n = int(audio_s * 100)
+    # block-correlated noise, cheap to synthesize at 720k frames
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(n, 80)).astype(np.float32)
+
+    live_bytes = []
+    orig_scan_fn = model._endless_scan_fn
+
+    def spying_scan_fn(*a, **k):
+        run = orig_scan_fn(*a, **k)
+
+        def spied(*ra, **rk):
+            out = run(*ra, **rk)
+            jax.block_until_ready(out)
+            live_bytes.append(sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                                  for x in jax.live_arrays()))
+            return out
+
+        return spied
+
+    model._endless_scan_fn = spying_scan_fn
+    tokens = model.endless_encode_tokens(feats, c, L, R,
+                                         total_batch_duration=60)
+    from chunkformer_tpu.ops.chunk import calc_length
+
+    assert tokens.shape[0] == calc_length(n)
+    assert len(live_bytes) >= 10, "expected many block calls over 2 h"
+    # per-block live bytes: flat apart from the accumulated token outputs
+    # (<= 4 B per subsampled frame) and block-plan variation (the first/last
+    # blocks use different fixed capacities)
+    # steady state excludes the ramp (the plan runs its small 1/2/4-segment
+    # blocks first, so the fixed block buffer grows until the 8-segment
+    # blocks start) and the reduced-capacity tail block
+    token_growth = 4 * int(calc_length(n)) + (1 << 20)
+    steady = live_bytes[3:-2]
+    assert len(steady) >= 8
+    assert max(steady) - min(steady) <= token_growth, (
+        f"device memory grew {max(steady) - min(steady)} B over "
+        f"{len(steady)} steady-state blocks (allowed {token_growth})")
+    # and the program cache stays O(block sizes), not O(duration)
+    scan_keys = [k for k in model._jit_cache if k[0] == "scan"]
+    assert len(scan_keys) <= 5, scan_keys

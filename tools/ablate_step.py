@@ -45,13 +45,18 @@ def timed(fn, params, args, att, cnn, iters=8):
 
 
 def build(cfg_enc, with_ctc, use_pallas, c, L, R, trunc, knock_attn=False,
-          knock_conv=False):
+          knock_conv=False, knock_ffn=False, knock_norm=False,
+          knock_embed=False):
     import chunkformer_tpu.nn.attention as attn_mod
     import chunkformer_tpu.nn.convolution as conv_mod
+    import chunkformer_tpu.nn.encoder_layer as el_mod
 
     orig_attn_p = attn_mod.attention_parallel_chunk_pallas
     orig_attn = attn_mod.attention_parallel_chunk
     orig_conv = conv_mod.conv_parallel_chunk
+    orig_ffn = el_mod.ffn
+    orig_norm = el_mod.norm_apply
+    orig_embed = enc_mod._embed_packed
 
     def fake_attn(p, x, pos_emb, att_mask, cache, *a, **k):
         return x, cache
@@ -61,6 +66,18 @@ def build(cfg_enc, with_ctc, use_pallas, c, L, R, trunc, knock_attn=False,
 
     def fake_conv(p, x, mask, cache, *a, **k):
         return x, cache
+
+    def fake_ffn(p, x, *a, **k):
+        return x
+
+    def fake_norm(p, x, *a, **k):
+        return x
+
+    def fake_embed(p, cfg, xs, *a, **k):
+        c_out = (xs.shape[1] - 15) // cfg.subsampling_rate + 1
+        # cheap projection keeping a data dependency so nothing upstream of
+        # the layer stack gets DCE'd
+        return jnp.tile(xs[:, : c_out * 8: 8, :1], (1, 1, cfg.output_size))
 
     @partial(jax.jit, donate_argnums=(5, 6))
     def step(params, xs, chunk_idx, offsets, max_lens, att_cache, cnn_cache):
@@ -80,6 +97,12 @@ def build(cfg_enc, with_ctc, use_pallas, c, L, R, trunc, knock_attn=False,
             if knock_conv:
                 conv_mod.conv_parallel_chunk = fake_conv
                 enc_mod.conv_parallel_chunk = fake_conv
+            if knock_ffn:
+                el_mod.ffn = fake_ffn
+            if knock_norm:
+                el_mod.norm_apply = fake_norm
+            if knock_embed:
+                enc_mod._embed_packed = fake_embed
             return step
 
         def __exit__(self, *a):
@@ -88,6 +111,9 @@ def build(cfg_enc, with_ctc, use_pallas, c, L, R, trunc, knock_attn=False,
             enc_mod.attention_parallel_chunk = orig_attn
             conv_mod.conv_parallel_chunk = orig_conv
             enc_mod.conv_parallel_chunk = orig_conv
+            el_mod.ffn = orig_ffn
+            el_mod.norm_apply = orig_norm
+            enc_mod._embed_packed = orig_embed
 
     return Ctx()
 
@@ -120,15 +146,33 @@ def main():
         ("no ctc head", dict(use_pallas=True, with_ctc=False)),
         ("no attention", dict(use_pallas=True, with_ctc=True, knock_attn=True)),
         ("no conv", dict(use_pallas=True, with_ctc=True, knock_conv=True)),
+        ("no ffn", dict(use_pallas=True, with_ctc=True, knock_ffn=True)),
+        ("no norms", dict(use_pallas=True, with_ctc=True, knock_norm=True)),
+        ("no subsampling", dict(use_pallas=True, with_ctc=True,
+                                knock_embed=True)),
         ("no attn+conv", dict(use_pallas=True, with_ctc=True, knock_attn=True,
                               knock_conv=True)),
+        ("overhead floor", dict(use_pallas=True, with_ctc=False,
+                                knock_attn=True, knock_conv=True,
+                                knock_ffn=True, knock_norm=True,
+                                knock_embed=True)),
     ]
+    results = {}
     for name, kw in variants:
         with build(cfg, kw.pop("with_ctc"), kw.pop("use_pallas"), c, L, R,
                    trunc, **kw) as step:
             att, cnn = init_caches(cfg, L, dtype=jnp.bfloat16)
             dt = timed(step, params, args, att, cnn)
-        print(f"{name:16s}: {dt*1e3:7.1f} ms   ({audio_s/dt:8.0f} audio-s/s)")
+        results[name] = dt * 1e3
+        print(f"{name:16s}: {dt*1e3:7.1f} ms   ({audio_s/dt:8.0f} audio-s/s)",
+              flush=True)
+    import json
+
+    out = os.environ.get("ABLATE_JSON")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"segment_audio_s": audio_s, "chunk": [c, L, R],
+                       "capacity": capacity, "ms": results}, f, indent=1)
 
 
 if __name__ == "__main__":
