@@ -129,7 +129,10 @@ def main():
     rel_right = (r_prime + max(c, r_prime) * (cfg.num_blocks - 1)) * sub
     seg_raw = trunc * sub + 7 + rel_right
     size = (c - 1) * sub + chunk_ops.SUBSAMPLING_CONTEXT
-    capacity = (seg_raw - size) // (sub * c) + 1
+    # round up to the Pallas grid granularity exactly as the API does
+    # (api.py:_endless_sizing) — an unrounded capacity (e.g. 92) silently
+    # falls back to the slower batched kernel instead of the union kernel
+    capacity = -(-((seg_raw - size) // (sub * c) + 1) // 16) * 16
 
     params = jax.tree.map(jnp.asarray,
                           random_params_like(lambda k: init_asr_model(k, CFG)))

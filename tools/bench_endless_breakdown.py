@@ -36,8 +36,8 @@ def main():
     params = random_params_like(lambda k: init_asr_model(k, cfg))
     model = ChunkFormerModel(cfg, params, char_dict=None, dtype=jnp.bfloat16)
     c, left, right = 64, 128, 128
-    tbd = 600
-    audio_seconds = 1800.0
+    tbd = 1800  # match bench.py so the same compiled block program serves both
+    audio_seconds = 1792.0
     feats = np.random.default_rng(0).normal(
         size=(int(audio_seconds * 100), 80)).astype(np.float32)
 
