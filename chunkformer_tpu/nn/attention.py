@@ -188,12 +188,59 @@ def attention_parallel_chunk_pallas(
     per-chunk 748. The union kernel computes each group's scores against the
     union KV window in ONE MXU-shaped matmul sequence per (group, head) cell;
     pad the packer capacity to a multiple of 8/16 to hit it."""
-    from ..ops.pallas.chunk_attention import (chunk_attention_pallas,
-                                              chunk_attention_pallas_batched,
-                                              chunk_attention_pallas_union)
+    from ..ops.pallas.chunk_attention import (
+        chunk_attention_pallas, chunk_attention_pallas_batched,
+        chunk_attention_pallas_union_hmajor)
 
     n, c, d = x.shape
     L, R = left_context, right_context
+    d_k = d // heads
+
+    if n % 8 == 0:
+        # fastest variant; its scalar BlockSpec (g, 1) needs g >= 8 sublanes.
+        # Every kernel operand is produced DIRECTLY in the layout the kernel
+        # blocks want — head-major K/V streams, row-major and rr-major q —
+        # by reshaping the projection weights instead of transposing the
+        # ~30 MB activations (the old wrapper paid ~5 relayout/concat passes
+        # per layer; see BENCH_BREAKDOWN.md).
+        g = 8
+        wq = p["q"]["w"].astype(x.dtype).reshape(d, heads, d_k)
+        bq = p["q"]["b"].astype(x.dtype).reshape(heads, d_k)
+        q_rm = jnp.einsum("ncf,fhd->nhcd", x, wq) + bq[None, :, None, :]
+        q_rr = (jnp.einsum("agcf,fhd->ahcgd", x.reshape(n // g, g, c, d), wq)
+                + bq[None, :, None, None, :])
+        xt = x.reshape(n * c, d)
+        # fused per-head KV weights: one matmul emits the kernel's head-major
+        # [H, T, 2dk] stream directly (lane dim 2dk = 128, Mosaic-tileable)
+        wkv = jnp.concatenate(
+            [p["k"]["w"].astype(x.dtype).reshape(d, heads, d_k),
+             p["v"]["w"].astype(x.dtype).reshape(d, heads, d_k)], axis=-1)
+        bkv = jnp.concatenate(
+            [p["k"]["b"].astype(x.dtype).reshape(heads, d_k),
+             p["v"]["b"].astype(x.dtype).reshape(heads, d_k)], axis=-1)
+        kv_h = jnp.einsum("tf,fhe->hte", xt, wkv) + bkv[:, None, :]
+        cache_h = cache.astype(x.dtype).transpose(1, 0, 2)   # [H, L, 2dk] (small)
+        parts = [cache_h, kv_h]
+        if R:
+            parts.append(jnp.zeros((heads, R, 2 * d_k), x.dtype))
+        kv_full = jnp.concatenate(parts, axis=1)
+        # new cache: rows [trunc, trunc+L) of the cache-prefixed stream
+        # (never reaches the R-pad tail since trunc <= N*c)
+        new_cache = jax.lax.dynamic_slice_in_dim(
+            kv_full, truncated_context_size, L, axis=1).transpose(1, 0, 2)
+        p_h = jnp.einsum("pf,fhd->hpd", pos_emb.astype(x.dtype),
+                         p["pos"]["w"].astype(x.dtype).reshape(d, heads, d_k))
+        ctx = chunk_attention_pallas_union_hmajor(
+            q_rm, q_rr, kv_full, p_h,
+            p["pos_bias_u"].astype(x.dtype), p["pos_bias_v"].astype(x.dtype),
+            chunk_idx, offsets, max_lens,
+            chunk=c, left=L, right=R, g=g, interpret=interpret)
+        # contract (H, dk) straight into the output projection — no relayout
+        wo = p["out"]["w"].astype(x.dtype).reshape(heads, d_k, d)
+        out = (jnp.einsum("nhcd,hdf->ncf", ctx, wo)
+               + p["out"]["b"].astype(x.dtype))
+        return out, new_cache
+
     q = _project(p, "q", x, heads)
     k = _project(p, "k", x, heads)
     v = _project(p, "v", x, heads)
@@ -203,17 +250,7 @@ def attention_parallel_chunk_pallas(
     new_cache = jax.lax.dynamic_slice_in_dim(flat, truncated_context_size, L, axis=0)
     flat = jnp.pad(flat, ((0, R), (0, 0), (0, 0)))
 
-    d_k = d // heads
     p_proj = linear(p["pos"], pos_emb.astype(x.dtype)).reshape(-1, heads, d_k)
-    if n % 8 == 0:
-        # fastest variant; its scalar BlockSpec (g, 1) needs g >= 8 sublanes
-        ctx = chunk_attention_pallas_union(
-            q, flat, p_proj,
-            p["pos_bias_u"].astype(x.dtype), p["pos_bias_v"].astype(x.dtype),
-            chunk_idx, offsets, max_lens,
-            chunk=c, left=L, right=R, g=8, interpret=interpret)
-        out = linear(p["out"], ctx.reshape(n, c, d))
-        return out, new_cache
     g = next((g for g in (16, 8, 4, 2) if n % g == 0), 1)
     if g > 1:
         ctx = chunk_attention_pallas_batched(

@@ -315,6 +315,37 @@ def chunk_attention_pallas_union(
     *, chunk: int, left: int, right: int, g: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
+    """Union-window kernel, row-major-layout compatibility wrapper.
+
+    Transposes the inputs into the head-major layouts the core kernel wants
+    and returns [N, c, H, dk]. The encoder's production path builds those
+    layouts directly out of the projection matmuls instead (zero relayout
+    passes) and calls ``chunk_attention_pallas_union_hmajor``.
+    """
+    n, c, heads, d_k = q.shape
+    out = chunk_attention_pallas_union_hmajor(
+        q.transpose(0, 2, 1, 3),
+        q.reshape(n // g, g, c, heads, d_k).transpose(0, 3, 2, 1, 4),
+        kv_flat.transpose(1, 0, 2),
+        p_proj.transpose(1, 0, 2), pos_bias_u, pos_bias_v,
+        chunk_idx, offsets, max_lens,
+        chunk=chunk, left=left, right=right, g=g, interpret=interpret)
+    return out.transpose(0, 2, 1, 3)
+
+
+def chunk_attention_pallas_union_hmajor(
+    q_rm: jnp.ndarray,        # [N, H, c, dk] queries, row-major (g, rr)
+    q_rr: jnp.ndarray,        # [N/G, H, c, G, dk] queries, rr-major
+    kv_h: jnp.ndarray,        # [H, L + N*c + R, 2dk] fused flat KV stream
+    p_h: jnp.ndarray,         # [H, P, dk] projected positional encodings
+    pos_bias_u: jnp.ndarray,  # [H, dk]
+    pos_bias_v: jnp.ndarray,  # [H, dk]
+    chunk_idx: jnp.ndarray,   # [N] int32
+    offsets: jnp.ndarray,     # [N] int32
+    max_lens: jnp.ndarray,    # [N] int32
+    *, chunk: int, left: int, right: int, g: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
     """Union-window variant: G chunks' scores in ONE score matrix per cell.
 
     The batched variant still runs N*H per-chunk pipelines of tiny [c, W]
@@ -331,20 +362,27 @@ def chunk_attention_pallas_union(
     the 1/sqrt(dk) scaling is folded into the queries pre-matmul in the
     input dtype (bf16), which rounds slightly differently than post-matmul
     f32 scaling.
+
+    All array inputs are head-major so the kernel's per-(cell, head) blocks
+    are contiguous without any wrapper-side transpose of the ~30 MB KV
+    stream — the encoder produces the fused [H, T, 2dk] stream straight out
+    of one matmul with per-head-concatenated K/V weights. Returns
+    [N, H, c, dk] — contract the (H, dk) axes directly into the output
+    projection to avoid a relayout back.
     """
-    n, c, heads, d_k = q.shape
+    n, heads, c, d_k = q_rm.shape
     assert n % g == 0, (n, g)
     w = left + c + right
     union = (g - 1) * c + w
     t1 = g * c
-    p_len = p_proj.shape[0]
+    p_len = p_h.shape[1]
     assert p_len == 2 * c - 1 + left + right, (p_len, c, left, right)
     inv_sqrt = 1.0 / math.sqrt(d_k)
 
     def kernel(q_ref, q_rr_ref, kv_hbm, p_ref, u_ref, v_ref,
                ci_ref, off_ref, ml_ref,
-               out_ref, kv_scratch, bd_scratch, shift_scratch, score_scratch,
-               sem):
+               out_ref, kv_scratch, bd_scratch, shift_scratch,
+               score_scratch, sem):
         i = pl.program_id(0)
         h = pl.program_id(1)
 
@@ -411,9 +449,6 @@ def chunk_attention_pallas_union(
         out_ref[:, 0, :, :] = ctx.reshape(g, c, d_k).astype(out_ref.dtype)
 
     grid = (n // g, heads)
-    # row-major q blocks [N, H, c, dk] and rr-major [N/G, H, c, G, dk]
-    q_rm = q.transpose(0, 2, 1, 3)
-    q_rr = q.reshape(n // g, g, c, heads, d_k).transpose(0, 3, 2, 1, 4)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -436,9 +471,9 @@ def chunk_attention_pallas_union(
         ],
         out_specs=pl.BlockSpec((g, 1, c, d_k), lambda i, h: (i, h, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, heads, c, d_k), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, heads, c, d_k), q_rm.dtype),
         scratch_shapes=[
-            pltpu.VMEM((union, 2 * d_k), kv_flat.dtype),
+            pltpu.VMEM((union, 2 * d_k), kv_h.dtype),
             pltpu.VMEM((t1, p_len), jnp.float32),
             pltpu.VMEM((t1, w), jnp.float32),
             pltpu.VMEM((t1, union), jnp.float32),
@@ -447,11 +482,11 @@ def chunk_attention_pallas_union(
         cost_estimate=pl.CostEstimate(
             flops=2 * (n // g) * heads * t1 * (union + p_len + union) * d_k,
             bytes_accessed=(n // g) * heads
-            * (t1 * d_k * 2 + union * 2 * d_k) * q.dtype.itemsize,
+            * (t1 * d_k * 2 + union * 2 * d_k) * q_rm.dtype.itemsize,
             transcendentals=n * heads * c * union,
         ),
-    )(q_rm, q_rr, kv_flat.transpose(1, 0, 2),
-      p_proj.transpose(1, 0, 2), pos_bias_u[:, None, :], pos_bias_v[:, None, :],
+    )(q_rm, q_rr, kv_h,
+      p_h, pos_bias_u[:, None, :], pos_bias_v[:, None, :],
       chunk_idx.astype(jnp.int32)[:, None], offsets.astype(jnp.int32)[:, None],
       max_lens.astype(jnp.int32)[:, None])
-    return out.transpose(0, 2, 1, 3)
+    return out
