@@ -152,7 +152,7 @@ def _prepare_train(jax, c: int, left: int, right: int):
             "output_size": 512, "attention_heads": 8, "linear_units": 2048,
             "num_blocks": 17, "cnn_module_kernel": 15,
             "cnn_module_norm": "layer_norm", "dynamic_conv": True,
-            "gradient_checkpointing": True,
+            "gradient_checkpointing": True, "remat_policy": "dots",
         },
         "decoder": "bitransformer",
         "decoder_conf": {"attention_heads": 8, "linear_units": 2048,
@@ -352,14 +352,15 @@ def main():
     train_audio_s = b * t_frames * 0.01
     train_rate = train_audio_s / step_s
 
-    # fwd+bwd ~= 3x forward FLOPs, +1x encoder forward recomputed under remat
-    # (gradient_checkpointing); decoder forward counted per step at the
-    # subsampled encoder length
+    # fwd+bwd ~= 3x forward FLOPs: under remat_policy="dots" the saved
+    # matmul/conv outputs are NOT recomputed in the backward pass, so the
+    # matmul-only analytic count keeps the 3x multiplier; decoder forward
+    # counted per step at the subsampled encoder length
     enc_t = int(chunk_ops.calc_length(t_frames))
     enc_fwd = encoder_flops_per_audio_second(train_cfg, c, left, right,
                                              train_cfg.vocab_size)
     dec_fwd = decoder_flops_per_step(train_cfg, b, u + 1, enc_t)
-    train_flops_per_step = 4.0 * enc_fwd * train_audio_s + 3.0 * dec_fwd
+    train_flops_per_step = 3.0 * (enc_fwd * train_audio_s + dec_fwd)
     train_mfu = round(train_flops_per_step / step_s / peak, 4)
 
     result.update({

@@ -47,6 +47,10 @@ class EncoderConfig:
     dynamic_conv: bool = False
     selfattention_layer_type: str = "chunk_rel_seflattn"
     gradient_checkpointing: bool = False
+    # remat policy under gradient_checkpointing: "nothing" (full recompute)
+    # or "dots" (save matmul/conv outputs; backward recomputes only
+    # elementwise ops). TPU-specific knob, no reference counterpart.
+    remat_policy: str = "nothing"
     # Dynamic chunk training (reference: encoder.py:198-218)
     dynamic_chunk_sizes: Optional[List[int]] = None
     dynamic_left_context_sizes: Optional[List[int]] = None

@@ -169,7 +169,18 @@ def encoder_forward(
         return x, None
 
     if train and cfg.gradient_checkpointing:
-        layer_fn = jax.checkpoint(layer_fn)
+        # remat policy (TPU knob, no reference counterpart): "nothing" is the
+        # reference-equivalent full recompute (FSDP non-reentrant wrapper,
+        # fsdp_utils.py:82-103); "dots" saves matmul/conv outputs so the
+        # backward pass recomputes only cheap elementwise ops — ~25% fewer
+        # encoder FLOPs per step for ~0.7 GB of saved activations at the
+        # flagship train shape
+        if cfg.remat_policy == "dots":
+            layer_fn = jax.checkpoint(
+                layer_fn,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        else:
+            layer_fn = jax.checkpoint(layer_fn)
     layer_rngs = (jax.random.split(rngs[2], cfg.num_blocks) if rngs[2] is not None
                   else jnp.zeros((cfg.num_blocks, 2), jnp.uint32))
     x, _ = jax.lax.scan(layer_fn, x, (p["layers"], layer_rngs))
