@@ -177,12 +177,14 @@ def _prepare_train(jax, c: int, left: int, right: int):
     targets = jnp.asarray(rng.integers(1, train_cfg.vocab_size - 2,
                                        size=(b, u)), jnp.int32)
     tgt_lens = jnp.full((b,), u, jnp.int32)
-    key = jax.random.PRNGKey(0)
+    # rbg dropout keys: threefry mask generation costs ~26 ms/step at this
+    # shape (see train/executor.py)
+    key = jax.random.key(0, impl="rbg")
 
     # one warmup call on this thread compiles AND warms the jit call cache
     # (state is donated; pass the returned state to the timed steps)
     state, metrics = train_step(state, t_feats, t_lens, targets, tgt_lens, key)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))
     _log("train-step program ready")
     return (train_cfg, train_step, state, t_feats, t_lens, targets, tgt_lens,
             key, b, t_frames, u)
@@ -312,12 +314,12 @@ def main():
 
     att, cnn = init_caches(enc, left, dtype=jnp.bfloat16)
     ys, att, cnn = one_call(att, cnn)  # warm (compiled in the e2e pass)
-    jax.block_until_ready(ys)
-    n_rep = 6
+    np.asarray(ys)  # hard sync: block_until_ready does not reliably fence
+    n_rep = 6       # on this PJRT tunnel; reps chain through donated caches
     t0 = time.perf_counter()
     for _ in range(n_rep):
         ys, att, cnn = one_call(att, cnn)
-    jax.block_until_ready(ys)
+    np.asarray(ys)
     dev_elapsed = (time.perf_counter() - t0) / n_rep
     seg_audio_s = n_seg * step_raw / 100.0  # 10 ms raw frames
     dev_rate = seg_audio_s / dev_elapsed
@@ -347,7 +349,7 @@ def main():
     for _ in range(n_steps):
         state, metrics = train_step(state, t_feats, t_lens, targets, tgt_lens,
                                     key)
-    jax.block_until_ready(metrics["loss"])
+    float(np.asarray(metrics["loss"]))  # hard sync (see device-step note)
     step_s = (time.perf_counter() - t0) / n_steps
     train_audio_s = b * t_frames * 0.01
     train_rate = train_audio_s / step_s

@@ -73,7 +73,10 @@ class Executor:
         self.accum_grad = accum_grad
         self.save_interval = save_interval
         self.rng = random.Random(seed)
-        self.key = jax.random.PRNGKey(seed)
+        # rbg PRNG for per-step dropout keys: threefry mask generation
+        # measured 26 ms of a 126 ms flagship train step on v5e; rbg cuts it
+        # to ~6 ms (dropout only needs statistical, not cryptographic, bits)
+        self.key = jax.random.key(seed, impl="rbg")
         self.mesh = mesh
         self._step_cache: Dict = {}
         self._eval_step = None
