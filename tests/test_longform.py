@@ -236,3 +236,20 @@ def test_constant_memory_multihour():
     # and the program cache stays O(block sizes), not O(duration)
     scan_keys = [k for k in model._jit_cache if k[0] == "scan"]
     assert len(scan_keys) <= 5, scan_keys
+
+
+def test_int8_transfer_token_flip_rate(monkeypatch):
+    """The int8 feature-transfer default (api.py CHUNKFORMER_TRANSFER) must
+    be WER-neutral: vs f32 transfer of the same stream it may flip only
+    rare argmax ties (bound: <0.5% of frames; measured ~0 at tiny scale).
+    Complements the bf16-vs-f32 bound in test_flagship_scale_endless_parity."""
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    model = ChunkFormerModel(cfg, params, dtype=jnp.bfloat16)
+    feats = np.random.default_rng(0).normal(size=(12_000, 80)).astype(np.float32)
+    monkeypatch.setenv("CHUNKFORMER_TRANSFER", "f32")
+    ref = model.endless_encode_tokens(feats, 8, 16, 16, total_batch_duration=30)
+    monkeypatch.setenv("CHUNKFORMER_TRANSFER", "int8")
+    got = model.endless_encode_tokens(feats, 8, 16, 16, total_batch_duration=30)
+    assert ref.shape == got.shape
+    assert (ref != got).mean() < 0.005, (ref != got).mean()
