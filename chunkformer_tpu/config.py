@@ -59,6 +59,11 @@ class EncoderConfig:
     # TPU-specific knobs (no reference counterpart)
     subsampling_rate: int = 8
     max_pos_len: int = 5000
+    # Fused Pallas training attention (custom-VJP backward). None = auto
+    # (enabled on TPU backends); pallas_interpret runs the kernels in
+    # interpreter mode for CPU tests.
+    use_pallas_train: Optional[bool] = None
+    pallas_interpret: bool = False
 
     @property
     def head_dim(self) -> int:

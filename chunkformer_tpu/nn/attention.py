@@ -139,6 +139,102 @@ def attention_chunked_train(
     return out
 
 
+def attention_chunked_train_pallas(
+    p: Params, x: jnp.ndarray, pos_emb: jnp.ndarray, lens: jnp.ndarray,
+    chunk_size: int, left_context: int, right_context: int, heads: int,
+    drop_rng=None, drop_rate: float = 0.0, train: bool = False,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused-kernel limited-context training attention with a Pallas
+    custom-VJP backward (ops/pallas/chunk_attention_train.py).
+
+    Numerically equivalent to :func:`attention_chunked_train` (same math, f32
+    accumulation; bf16 rounding differs slightly because 1/sqrt(dk) is folded
+    into the queries pre-matmul). The XLA gather path above stays as the
+    gradient-check oracle. ``lens``: [B] valid (subsampled) frames.
+
+    Every kernel operand is produced directly in the layout the kernel blocks
+    want (head-major KV stream, row-major + rr-major queries) by reshaping
+    the projection weights — no activation-sized transposes, mirroring the
+    inference fast path in attention_parallel_chunk_pallas.
+    """
+    from ..ops.pallas.chunk_attention_train import (chunk_train_attention,
+                                                   pick_group)
+
+    d_model = x.shape[-1]
+    use_fallback = (
+        # the TPU PRNG has no CPU-interpret lowering; CPU tests with dropout
+        # route through the XLA oracle (dropout RNG streams differ between
+        # the paths anyway — both are Bernoulli(1-p) on attention weights)
+        (interpret and train and drop_rate > 0.0 and drop_rng is not None)
+        # Mosaic requires the fused KV stream's lane dim (2*dk) be
+        # 128-aligned for the dynamic DMA slice (dk=64 flagship is fine)
+        or (not interpret and (2 * (d_model // heads)) % 128 != 0)
+    )
+    if use_fallback:
+        pad_mask = jnp.arange(x.shape[1])[None, :] < lens[:, None]
+        return attention_chunked_train(
+            p, x, pos_emb, pad_mask, chunk_size, left_context, right_context,
+            heads, drop_rng, drop_rate, train)
+
+    b, t, d = x.shape
+    c, L, R = chunk_size, left_context, right_context
+    n = -(-t // c)
+    pad_t = n * c - t
+    g = pick_group(n)
+    i_per = n // g
+    t1 = g * c
+    d_k = d // heads
+    dtype = x.dtype
+
+    x_pad = jnp.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+    wq = p["q"]["w"].astype(dtype).reshape(d, heads, d_k)
+    xg = x_pad.reshape(b, i_per, t1, d)
+    q_rm = jnp.einsum("bitf,fhd->bihtd", xg, wq)
+    xgr = x_pad.reshape(b, i_per, g, c, d)
+    q_rr = jnp.einsum("bigcf,fhd->bihcgd", xgr, wq)
+    if "b" in p["q"]:
+        bq = p["q"]["b"].astype(dtype).reshape(heads, d_k)
+        q_rm = q_rm + bq[None, None, :, None, :]
+        q_rr = q_rr + bq[None, None, :, None, None, :]
+    q_rm = q_rm.reshape(b * i_per, heads, t1, d_k)
+    q_rr = q_rr.reshape(b * i_per, heads, c, g, d_k)
+
+    wkv = jnp.concatenate(
+        [p["k"]["w"].astype(dtype).reshape(d, heads, d_k),
+         p["v"]["w"].astype(dtype).reshape(d, heads, d_k)], axis=-1)
+    kv_h = jnp.einsum("btf,fhe->bhte", x_pad, wkv)
+    if "b" in p["k"] or "b" in p["v"]:
+        bkv = jnp.concatenate(
+            [p["k"].get("b", jnp.zeros(d)).astype(dtype).reshape(heads, d_k),
+             p["v"].get("b", jnp.zeros(d)).astype(dtype).reshape(heads, d_k)],
+            axis=-1)
+        kv_h = kv_h + bkv[None, :, None, :]
+    kv_h = jnp.pad(kv_h, ((0, 0), (0, 0), (L, R), (0, 0)))
+
+    p_h = jnp.einsum("pf,fhd->hpd", pos_emb.astype(dtype),
+                     p["pos"]["w"].astype(dtype).reshape(d, heads, d_k))
+
+    eff_drop = float(drop_rate) if (train and drop_rng is not None) else 0.0
+    if eff_drop > 0.0:
+        seed = jax.random.bits(drop_rng, dtype=jnp.uint32)
+    else:
+        seed = jnp.zeros((), jnp.uint32)
+
+    ctx = chunk_train_attention(
+        q_rm, q_rr, kv_h, p_h,
+        p["pos_bias_u"].astype(dtype), p["pos_bias_v"].astype(dtype),
+        lens.astype(jnp.int32), seed,
+        chunk=c, left=L, right=R, g=g, drop_rate=eff_drop,
+        interpret=interpret)
+
+    wo = p["out"]["w"].astype(dtype).reshape(heads, d_k, d)
+    out = jnp.einsum("nhtd,hdf->ntf", ctx, wo)
+    if "b" in p["out"]:
+        out = out + p["out"]["b"].astype(dtype)
+    return out.reshape(b, n * c, d)[:, :t]
+
+
 def attention_parallel_chunk(
     p: Params, x: jnp.ndarray, pos_emb: jnp.ndarray, att_mask: jnp.ndarray,
     cache: jnp.ndarray, left_context: int, right_context: int,
@@ -205,20 +301,25 @@ def attention_parallel_chunk_pallas(
         # per layer; see BENCH_BREAKDOWN.md).
         g = 8
         wq = p["q"]["w"].astype(x.dtype).reshape(d, heads, d_k)
-        bq = p["q"]["b"].astype(x.dtype).reshape(heads, d_k)
-        q_rm = jnp.einsum("ncf,fhd->nhcd", x, wq) + bq[None, :, None, :]
-        q_rr = (jnp.einsum("agcf,fhd->ahcgd", x.reshape(n // g, g, c, d), wq)
-                + bq[None, :, None, None, :])
+        q_rm = jnp.einsum("ncf,fhd->nhcd", x, wq)
+        q_rr = jnp.einsum("agcf,fhd->ahcgd", x.reshape(n // g, g, c, d), wq)
+        if "b" in p["q"]:  # query_bias=False checkpoints have no 'b'
+            bq = p["q"]["b"].astype(x.dtype).reshape(heads, d_k)
+            q_rm = q_rm + bq[None, :, None, :]
+            q_rr = q_rr + bq[None, :, None, None, :]
         xt = x.reshape(n * c, d)
         # fused per-head KV weights: one matmul emits the kernel's head-major
         # [H, T, 2dk] stream directly (lane dim 2dk = 128, Mosaic-tileable)
         wkv = jnp.concatenate(
             [p["k"]["w"].astype(x.dtype).reshape(d, heads, d_k),
              p["v"]["w"].astype(x.dtype).reshape(d, heads, d_k)], axis=-1)
-        bkv = jnp.concatenate(
-            [p["k"]["b"].astype(x.dtype).reshape(heads, d_k),
-             p["v"]["b"].astype(x.dtype).reshape(heads, d_k)], axis=-1)
-        kv_h = jnp.einsum("tf,fhe->hte", xt, wkv) + bkv[:, None, :]
+        kv_h = jnp.einsum("tf,fhe->hte", xt, wkv)
+        if "b" in p["k"] or "b" in p["v"]:
+            bkv = jnp.concatenate(
+                [p["k"].get("b", jnp.zeros(d)).astype(x.dtype).reshape(heads, d_k),
+                 p["v"].get("b", jnp.zeros(d)).astype(x.dtype).reshape(heads, d_k)],
+                axis=-1)
+            kv_h = kv_h + bkv[:, None, :]
         cache_h = cache.astype(x.dtype).transpose(1, 0, 2)   # [H, L, 2dk] (small)
         parts = [cache_h, kv_h]
         if R:
@@ -237,8 +338,9 @@ def attention_parallel_chunk_pallas(
             chunk=c, left=L, right=R, g=g, interpret=interpret)
         # contract (H, dk) straight into the output projection — no relayout
         wo = p["out"]["w"].astype(x.dtype).reshape(heads, d_k, d)
-        out = (jnp.einsum("nhcd,hdf->ncf", ctx, wo)
-               + p["out"]["b"].astype(x.dtype))
+        out = jnp.einsum("nhcd,hdf->ncf", ctx, wo)
+        if "b" in p["out"]:
+            out = out + p["out"]["b"].astype(x.dtype)
         return out, new_cache
 
     q = _project(p, "q", x, heads)

@@ -13,12 +13,18 @@ from chunkformer_tpu.nn.embedding import rel_pos_slice
 from chunkformer_tpu.ops.chunk import parallel_chunk_att_mask
 
 
-@pytest.mark.parametrize("c,L,R", [(4, 8, 8), (4, 8, 0), (8, 16, 8)])
-def test_pallas_matches_xla_gather_path(c, L, R):
+@pytest.mark.parametrize("c,L,R,n", [
+    (4, 8, 8, 6), (4, 8, 0, 6), (8, 16, 8, 6),
+    # n % 8 == 0 exercises the head-major union fast path (q_rr/fused-KV/
+    # in-path new_cache construction), incl. an R=0 case (ADVICE r4 item 2)
+    (4, 8, 8, 8), (4, 8, 0, 8),
+])
+def test_pallas_matches_xla_gather_path(c, L, R, n):
     heads, d_k = 2, 16
     d = heads * d_k
-    n = 6
-    trunc = 2 * c
+    # trunc == n*c is the new_cache slice edge (cache read ends exactly at
+    # the stream tail before the R-pad)
+    trunc = n * c if n % 8 == 0 else 2 * c
     rng = np.random.default_rng(0)
     p = init_rel_attention(jax.random.PRNGKey(0), d, heads)
     x = jnp.asarray(rng.normal(size=(n, c, d)).astype(np.float32))
