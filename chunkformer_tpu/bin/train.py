@@ -47,9 +47,19 @@ def main(argv=None):
     import jax
 
     if args.distributed:
-        # multi-host bring-up: coordinator/num_processes/process_id come from
-        # the TPU environment or JAX_COORDINATOR_* env vars
-        jax.distributed.initialize()
+        # multi-host bring-up (reference: utils/train_utils.py:254-274 +
+        # torchrun rendezvous). On TPU pods the cluster is auto-detected; for
+        # CPU/manual launches pass JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+        # / JAX_PROCESS_ID (exercised by tests/test_distributed.py).
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        if coord and nproc is not None and pid is not None:
+            jax.distributed.initialize(coordinator_address=coord,
+                                       num_processes=int(nproc),
+                                       process_id=int(pid))
+        else:
+            jax.distributed.initialize()
 
     from ..config import ChunkFormerConfig, override_config
     from ..data.tokenizer import build_tokenizer
