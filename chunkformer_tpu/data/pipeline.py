@@ -372,7 +372,8 @@ class Dataset:
             sa = conf.get("spec_aug_conf", {})
             src = mapper_ignore_error(src, lambda s: processor.spec_aug(
                 s, sa.get("num_t_mask", 2), sa.get("num_f_mask", 2),
-                sa.get("max_t", 50), sa.get("max_f", 10), rng=rng))
+                sa.get("max_t", 50), sa.get("max_f", 10), rng=rng,
+                fill=sa.get("fill", "zero")))
         if conf.get("spec_sub", False):
             ss = conf.get("spec_sub_conf", {})
             src = mapper_ignore_error(src, lambda s: processor.spec_sub(

@@ -190,20 +190,25 @@ def filter_sample(sample: Dict, max_length: int = 40960, min_length: int = 0,
 
 
 def spec_aug(sample: Dict, num_t_mask: int = 2, num_f_mask: int = 2, max_t: int = 50,
-             max_f: int = 10, rng: Optional[np.random.Generator] = None) -> Dict:
-    """SpecAugment time/freq masking (processor.py:421-456)."""
+             max_f: int = 10, rng: Optional[np.random.Generator] = None,
+             fill: str = "zero") -> Dict:
+    """SpecAugment time/freq masking (processor.py:421-456).
+
+    Masked regions are filled with 0 like the reference (processor.py:444-452);
+    fill="mean" substitutes the utterance mean (a common SpecAugment variant,
+    kept as an opt-in config knob)."""
     rng = rng or np.random.default_rng()
     x = sample["feat"].copy()
     t, f = x.shape
-    mean = x.mean()
+    value = x.mean() if fill == "mean" else 0.0
     for _ in range(num_t_mask):
         start = rng.integers(0, max(t, 1))
         length = rng.integers(1, max_t + 1)
-        x[start:start + length] = mean
+        x[start:start + length] = value
     for _ in range(num_f_mask):
         start = rng.integers(0, max(f, 1))
         length = rng.integers(1, max_f + 1)
-        x[:, start:start + length] = mean
+        x[:, start:start + length] = value
     sample["feat"] = x
     return sample
 

@@ -43,13 +43,21 @@ def load_reference():
         comp.__path__ = []
         kaldi = types.ModuleType("torchaudio.compliance.kaldi")
         kaldi.fbank = _unavailable
+        utils = types.ModuleType("torchaudio.utils")
+        utils.__path__ = []
+        sox_utils = types.ModuleType("torchaudio.utils.sox_utils")
+        sox_utils.set_buffer_size = lambda *a, **k: None
+        utils.sox_utils = sox_utils
         ta.functional = fn
         ta.compliance = comp
+        ta.utils = utils
         comp.kaldi = kaldi
         sys.modules["torchaudio"] = ta
         sys.modules["torchaudio.functional"] = fn
         sys.modules["torchaudio.compliance"] = comp
         sys.modules["torchaudio.compliance.kaldi"] = kaldi
+        sys.modules["torchaudio.utils"] = utils
+        sys.modules["torchaudio.utils.sox_utils"] = sox_utils
 
     pkg = types.ModuleType("chunkformer")
     pkg.__path__ = [REFERENCE_ROOT + "/chunkformer"]
