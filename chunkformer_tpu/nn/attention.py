@@ -191,14 +191,10 @@ def attention_chunked_train_pallas(
     wq = p["q"]["w"].astype(dtype).reshape(d, heads, d_k)
     xg = x_pad.reshape(b, i_per, t1, d)
     q_rm = jnp.einsum("bitf,fhd->bihtd", xg, wq)
-    xgr = x_pad.reshape(b, i_per, g, c, d)
-    q_rr = jnp.einsum("bigcf,fhd->bihcgd", xgr, wq)
     if "b" in p["q"]:
         bq = p["q"]["b"].astype(dtype).reshape(heads, d_k)
         q_rm = q_rm + bq[None, None, :, None, :]
-        q_rr = q_rr + bq[None, None, :, None, None, :]
     q_rm = q_rm.reshape(b * i_per, heads, t1, d_k)
-    q_rr = q_rr.reshape(b * i_per, heads, c, g, d_k)
 
     wkv = jnp.concatenate(
         [p["k"]["w"].astype(dtype).reshape(d, heads, d_k),
@@ -222,7 +218,7 @@ def attention_chunked_train_pallas(
         seed = jnp.zeros((), jnp.uint32)
 
     ctx = chunk_train_attention(
-        q_rm, q_rr, kv_h, p_h,
+        q_rm, kv_h, p_h,
         p["pos_bias_u"].astype(dtype), p["pos_bias_v"].astype(dtype),
         lens.astype(jnp.int32), seed,
         chunk=c, left=L, right=R, g=g, drop_rate=eff_drop,

@@ -141,7 +141,12 @@ def _side_forward(p: Params, cfg: DecoderConfig, tokens: jnp.ndarray, tgt_mask: 
         lp, lr = scanned
         return layer_fn(x, (lp, None if rng is None else lr))
 
-    x, _ = jax.lax.scan(body, x, (p["layers"], layer_rngs))
+    # fully unrolled: decoder iterations are tiny (U=dozens of label rows), so
+    # while-loop sequencing + stacked-param dynamic slicing dominate a rolled
+    # scan; unrolling lets XLA fuse across the 3-6 layers (measured ~4 ms of
+    # a flagship train step in the rolled form)
+    x, _ = jax.lax.scan(body, x, (p["layers"], layer_rngs),
+                        unroll=int(n_layers))
     if cfg.normalize_before:
         x = norm_apply(p["after_norm"], x)
     if "output_layer" in p:

@@ -192,9 +192,18 @@ def encoder_forward(
         # encoder FLOPs per step for ~0.7 GB of saved activations at the
         # flagship train shape
         if cfg.remat_policy == "dots":
+            from ..ops.pallas.chunk_attention_train import REMAT_SAVE_NAMES
+
+            # additionally save the fused attention kernel's (ctx, stats)
+            # outputs (~4 MB/layer bf16 at the flagship train shape) so the
+            # backward pass feeds the Pallas bwd kernel from saved residuals
+            # instead of re-running the forward kernel (measured 4.7 ms/step)
             layer_fn = jax.checkpoint(
                 layer_fn,
-                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+                policy=jax.checkpoint_policies.save_from_both_policies(
+                    jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        *REMAT_SAVE_NAMES)))
         else:
             layer_fn = jax.checkpoint(layer_fn)
     layer_rngs = (jax.random.split(rngs[2], cfg.num_blocks) if rngs[2] is not None

@@ -61,24 +61,27 @@ def _valid_mask(lens_b, i, g: int, c: int, left: int, w: int,
     Row r = gg*c + rr is chunk ci = i*g + gg; union position j covers frame
     f = i*g*c - left + j. Window membership + 0 <= f < len collapse to
     per-row interval bounds [lo, hi) in j (cf. chunk_attention.py union
-    kernel), intersected with query-row validity ci*c + rr < len.
+    kernel). Query-row validity (ci*c + rr < len) is folded into the bounds
+    (hi := lo empties the interval) so the [t1, union] slab pays only one
+    iota + two compares + one and.
     """
     gg, rr = _row_gg_rr(t1, c)
     ci = i * g + gg                                      # [t1, 1]
     base = gg * c
     lo = base + jnp.maximum(0, left - ci * c)
     hi = base + jnp.minimum(w, lens_b - ci * c + left)
-    qvalid = (ci * c + rr) < lens_b
+    hi = jnp.where((ci * c + rr) < lens_b, hi, lo)       # [t1, 1] — cheap
     j = jax.lax.broadcasted_iota(jnp.int32, (t1, union), 1)
-    return (j >= lo) & (j < hi) & qvalid
+    return (j >= lo) & (j < hi)
 
 
 def _fwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
                 drop_rate: float,
                 lens_ref, seed_ref,
-                q_rm_ref, q_rr_ref, kv_hbm, p_ref, u_ref, v_ref,
+                q_rm_ref, kv_hbm, p_ref, u_ref, v_ref,
                 ctx_ref, m_ref, den_ref,
-                kv_scratch, bd_scratch, shift_scratch, score_scratch, sem):
+                kv_scratch, qrr_scratch, bd_scratch, shift_scratch,
+                score_scratch, sem):
     h = pl.program_id(0)
     cell = pl.program_id(1)
     b = cell // i_per_b
@@ -98,10 +101,19 @@ def _fwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
     u = u_ref[0, 0, :]
     v_bias = v_ref[0, 0, :]
 
-    # position scores in rr-major so the rel-shift moves [G, W] slabs
-    qv = ((q_rr_ref[0, 0] + v_bias) * inv_sqrt).reshape(t1, d_k)
+    # position scores in rr-major so the rel-shift moves [G, W] slabs.
+    # The rr-major query layout is built IN VMEM from the row-major block
+    # (g slab copies) instead of shipping a second HBM copy of q per layer.
+    q_rm_val = q_rm_ref[0, 0]
+    for gg in range(g):
+        # f32 scratch: bf16's (16, 128) tiling rejects the 1-sublane store
+        qrr_scratch[:, gg, :] = q_rm_val[gg * c:(gg + 1) * c, :].astype(
+            jnp.float32)
+    qv = ((qrr_scratch[:].reshape(t1, d_k) + v_bias.astype(jnp.float32))
+          * inv_sqrt)
     bd_scratch[:] = jax.lax.dot_general(
-        qv, p_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        qv, p_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     for rr in range(c):
         shift_scratch[rr * g:(rr + 1) * g, :] = bd_scratch[
@@ -112,7 +124,7 @@ def _fwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
     k_u = kv_scratch[:, :d_k]
     v_u = kv_scratch[:, d_k:]
 
-    qu = ((q_rm_ref[0, 0] + u) * inv_sqrt).reshape(t1, d_k)
+    qu = ((q_rm_val + u) * inv_sqrt).reshape(t1, d_k)
     score_scratch[:] = jax.lax.dot_general(
         qu, k_u, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -123,8 +135,10 @@ def _fwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
 
     valid = _valid_mask(lens_ref[b], i, g, c, left, w, t1, union)
     scores = jnp.where(valid, score_scratch[:], -1e30)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.where(valid, jnp.exp(scores - m), 0.0)
+    # clamp the row max so exp underflows to exactly 0 at masked positions
+    # (incl. fully-masked rows where m would be -1e30) — saves a where pass
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), -1e29)
+    e = jnp.exp(scores - m)
     den = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     attn = e / den
     m_ref[0, 0, 0, :] = m[:, 0]
@@ -147,11 +161,11 @@ def _fwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
 def _bwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
                 drop_rate: float, n_slabs: int,
                 lens_ref, seed_ref,
-                q_rm_ref, q_rr_ref, kv_hbm, p_ref, u_ref, v_ref,
+                q_rm_ref, kv_hbm, p_ref, u_ref, v_ref,
                 m_ref, den_ref, dctx_ref,
-                dq_rm_ref, dq_rr_ref, dwin_ref, dp_ref, du_ref, dv_ref,
-                kv_scratch, bd_scratch, shift_scratch, score_scratch,
-                da_scratch, dsh_scratch, dbd_scratch, sem):
+                dq_rm_ref, dwin_ref, dp_ref, du_ref, dv_ref,
+                kv_scratch, qrr_scratch, bd_scratch, shift_scratch,
+                score_scratch, da_scratch, dsh_scratch, dbd_scratch, sem):
     h = pl.program_id(0)
     cell = pl.program_id(1)
     b = cell // i_per_b
@@ -172,9 +186,16 @@ def _bwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
     v_bias = v_ref[0, 0, :]
 
     # ---- recompute scores exactly as the forward did -----------------------
-    qv = ((q_rr_ref[0, 0] + v_bias) * inv_sqrt).reshape(t1, d_k)
+    q_rm_val = q_rm_ref[0, 0]
+    for gg in range(g):
+        # f32 scratch: bf16's (16, 128) tiling rejects the 1-sublane store
+        qrr_scratch[:, gg, :] = q_rm_val[gg * c:(gg + 1) * c, :].astype(
+            jnp.float32)
+    qv = ((qrr_scratch[:].reshape(t1, d_k) + v_bias.astype(jnp.float32))
+          * inv_sqrt)
     bd_scratch[:] = jax.lax.dot_general(
-        qv, p_ref[0], dimension_numbers=(((1,), (1,)), ((), ())),
+        qv, p_ref[0].astype(jnp.float32),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     for rr in range(c):
         shift_scratch[rr * g:(rr + 1) * g, :] = bd_scratch[
@@ -185,7 +206,7 @@ def _bwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
     k_u = kv_scratch[:, :d_k]
     v_u = kv_scratch[:, d_k:]
 
-    qu = ((q_rm_ref[0, 0] + u) * inv_sqrt).reshape(t1, d_k)
+    qu = ((q_rm_val + u) * inv_sqrt).reshape(t1, d_k)
     score_scratch[:] = jax.lax.dot_general(
         qu, k_u, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -195,9 +216,9 @@ def _bwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
             + shifted[:, gg, :])
 
     valid = _valid_mask(lens_ref[b], i, g, c, left, w, t1, union)
-    m = m_ref[0, 0, 0, :][:, None]
+    m = m_ref[0, 0, 0, :][:, None]       # clamped in fwd; exp underflows to 0
     den = den_ref[0, 0, 0, :][:, None]
-    attn = jnp.where(valid, jnp.exp(score_scratch[:] - m), 0.0) / den
+    attn = jnp.exp(jnp.where(valid, score_scratch[:], -1e30) - m) / den
 
     if drop_rate > 0.0:
         pltpu.prng_seed(seed_ref[0], cell * heads + h)
@@ -236,8 +257,6 @@ def _bwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # [union, dk]
 
-    dq_rm_ref[0, 0, :, :] = (dqu * inv_sqrt).astype(dq_rm_ref.dtype)
-
     # BD branch: extract each chunk's window block of ds into a (rr, gg, :)
     # 3D scratch (so both the per-gg writes and the per-rr slab reads are
     # contiguous along their own leading axis), un-shift into dbd, then
@@ -253,8 +272,13 @@ def _bwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
         dbd_scratch[:], p_ref[0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)             # [t1, dk] rr-major
-    dq_rr_ref[0, 0, :, :, :] = (dqv * inv_sqrt).astype(
-        dq_rr_ref.dtype).reshape(c, g, d_k)
+    # fold dqv (rr-major) back into the row-major dq via the qrr scratch:
+    # write rr-major, read per-gg [c, dk] slabs
+    qrr_f32 = dqv.reshape(c, g, d_k)
+    for gg in range(g):
+        dq_rm_ref[0, 0, gg * c:(gg + 1) * c, :] = (
+            (dqu[gg * c:(gg + 1) * c, :] + qrr_f32[:, gg, :]) * inv_sqrt
+        ).astype(dq_rm_ref.dtype)
 
     dp_partial = jax.lax.dot_general(
         dbd_scratch[:], qv.astype(jnp.float32),
@@ -284,12 +308,12 @@ def _bwd_kernel(c: int, left: int, right: int, g: int, i_per_b: int,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _attn_core(statics, q_rm, q_rr, kv_h, p_h, u, v, lens, seed):
-    ctx, _, _ = _attn_fwd_call(statics, q_rm, q_rr, kv_h, p_h, u, v, lens, seed)
+def _attn_core(statics, q_rm, kv_h, p_h, u, v, lens, seed):
+    ctx, _, _ = _attn_fwd_call(statics, q_rm, kv_h, p_h, u, v, lens, seed)
     return ctx
 
 
-def _attn_fwd_call(statics, q_rm, q_rr, kv_h, p_h, u, v, lens, seed):
+def _attn_fwd_call(statics, q_rm, kv_h, p_h, u, v, lens, seed):
     c, left, right, g, drop_rate, interpret = statics
     ng, heads, t1, d_k = q_rm.shape
     batch = kv_h.shape[0]
@@ -306,8 +330,6 @@ def _attn_fwd_call(statics, q_rm, q_rr, kv_h, p_h, u, v, lens, seed):
         grid=(heads, ng),
         in_specs=[
             pl.BlockSpec((1, 1, t1, d_k), lambda h, j, *_: (j, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, g, d_k), lambda h, j, *_: (j, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, p_len, d_k), lambda h, j, *_: (h, 0, 0),
@@ -327,6 +349,7 @@ def _attn_fwd_call(statics, q_rm, q_rr, kv_h, p_h, u, v, lens, seed):
         ],
         scratch_shapes=[
             pltpu.VMEM((union, 2 * d_k), kv_h.dtype),
+            pltpu.VMEM((c, g, d_k), jnp.float32),
             pltpu.VMEM((t1, p_len), jnp.float32),
             pltpu.VMEM((t1, w), jnp.float32),
             pltpu.VMEM((t1, union), jnp.float32),
@@ -349,19 +372,24 @@ def _attn_fwd_call(statics, q_rm, q_rr, kv_h, p_h, u, v, lens, seed):
             transcendentals=ng * heads * t1 * union,
         ),
     )(lens.astype(jnp.int32), seed.reshape(1).astype(jnp.int32),
-      q_rm, q_rr, kv_h, p_h, u[:, None, :], v[:, None, :])
+      q_rm, kv_h, p_h, u[:, None, :], v[:, None, :])
+    # named so jax.checkpoint policies can save (ctx, stats) and skip the
+    # forward-kernel recompute in the backward pass (see REMAT_SAVE_NAMES)
+    from jax.ad_checkpoint import checkpoint_name
+    ctx = checkpoint_name(ctx, "chunk_attn_ctx")
+    m = checkpoint_name(m, "chunk_attn_m")
+    den = checkpoint_name(den, "chunk_attn_den")
     return ctx, m, den
 
 
-def _attn_core_fwd(statics, q_rm, q_rr, kv_h, p_h, u, v, lens, seed):
-    ctx, m, den = _attn_fwd_call(statics, q_rm, q_rr, kv_h, p_h, u, v, lens,
-                                 seed)
-    return ctx, (q_rm, q_rr, kv_h, p_h, u, v, lens, seed, m, den)
+def _attn_core_fwd(statics, q_rm, kv_h, p_h, u, v, lens, seed):
+    ctx, m, den = _attn_fwd_call(statics, q_rm, kv_h, p_h, u, v, lens, seed)
+    return ctx, (q_rm, kv_h, p_h, u, v, lens, seed, m, den)
 
 
 def _attn_core_bwd(statics, res, dctx):
     c, left, right, g, drop_rate, interpret = statics
-    q_rm, q_rr, kv_h, p_h, u, v, lens, seed, m, den = res
+    q_rm, kv_h, p_h, u, v, lens, seed, m, den = res
     ng, heads, t1, d_k = q_rm.shape
     batch = kv_h.shape[0]
     i_per_b = ng // batch
@@ -377,8 +405,6 @@ def _attn_core_bwd(statics, res, dctx):
         grid=(heads, ng),
         in_specs=[
             pl.BlockSpec((1, 1, t1, d_k), lambda h, j, *_: (j, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, g, d_k), lambda h, j, *_: (j, h, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, p_len, d_k), lambda h, j, *_: (h, 0, 0),
@@ -397,8 +423,6 @@ def _attn_core_bwd(statics, res, dctx):
         out_specs=[
             pl.BlockSpec((1, 1, t1, d_k), lambda h, j, *_: (j, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, g, d_k), lambda h, j, *_: (j, h, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, n_slabs * t1, 2 * d_k),
                          lambda h, j, *_: (j // i_per_b, h, j % i_per_b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -411,6 +435,7 @@ def _attn_core_bwd(statics, res, dctx):
         ],
         scratch_shapes=[
             pltpu.VMEM((union, 2 * d_k), kv_h.dtype),
+            pltpu.VMEM((c, g, d_k), jnp.float32),
             pltpu.VMEM((t1, p_len), jnp.float32),
             pltpu.VMEM((t1, w), jnp.float32),
             pltpu.VMEM((t1, union), jnp.float32),
@@ -420,13 +445,12 @@ def _attn_core_bwd(statics, res, dctx):
             pltpu.SemaphoreType.DMA,
         ],
     )
-    dq_rm, dq_rr, dwin, dp, du, dv = pl.pallas_call(
+    dq_rm, dwin, dp, du, dv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((ng, heads, t1, d_k), q_rm.dtype),
-            jax.ShapeDtypeStruct((ng, heads, c, g, d_k), q_rr.dtype),
             jax.ShapeDtypeStruct((batch, heads, i_per_b, n_slabs * t1,
                                   2 * d_k), kv_h.dtype),
             jax.ShapeDtypeStruct((heads, p_len, d_k), jnp.float32),
@@ -440,7 +464,7 @@ def _attn_core_bwd(statics, res, dctx):
             transcendentals=ng * heads * t1 * union,
         ),
     )(lens.astype(jnp.int32), seed.reshape(1).astype(jnp.int32),
-      q_rm, q_rr, kv_h, p_h, u[:, None, :], v[:, None, :], m, den, dctx)
+      q_rm, kv_h, p_h, u[:, None, :], v[:, None, :], m, den, dctx)
 
     # overlap-add the K diagonal slabs back onto the flat KV stream:
     # slab k of cell (b, i) covers flat rows [(i + k)*t1, (i + k + 1)*t1).
@@ -457,12 +481,18 @@ def _attn_core_bwd(statics, res, dctx):
             seg.astype(jnp.float32))
     dkv_h = acc[:, :, :tk, :].astype(kv_h.dtype)
 
-    return (dq_rm, dq_rr, dkv_h, dp.astype(p_h.dtype),
+    return (dq_rm, dkv_h, dp.astype(p_h.dtype),
             du[:, 0, :].astype(u.dtype), dv[:, 0, :].astype(v.dtype),
             None, None)
 
 
 _attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)
+
+
+#: checkpoint names emitted by the forward kernel; a remat policy that saves
+#: these (nn/encoder.py "dots" policy) avoids re-running the forward kernel
+#: inside the backward pass.
+REMAT_SAVE_NAMES = ("chunk_attn_ctx", "chunk_attn_m", "chunk_attn_den")
 
 
 def pick_group(n: int, cap: int = 8) -> int:
@@ -477,7 +507,6 @@ def pick_group(n: int, cap: int = 8) -> int:
                                              "drop_rate", "interpret"))
 def chunk_train_attention(
     q_rm: jnp.ndarray,        # [B*I, H, t1, dk] queries row-major, +q bias
-    q_rr: jnp.ndarray,        # [B*I, H, c, G, dk] queries rr-major, +q bias
     kv_h: jnp.ndarray,        # [B, H, L + n*c + R, 2dk] fused flat KV stream
     p_h: jnp.ndarray,         # [H, P, dk] projected positional encodings
     pos_bias_u: jnp.ndarray,  # [H, dk]
@@ -494,5 +523,5 @@ def chunk_train_attention(
     lens/seed via the Pallas backward kernel.
     """
     statics = (chunk, left, right, g, float(drop_rate), bool(interpret))
-    return _attn_core(statics, q_rm, q_rr, kv_h, p_h, pos_bias_u, pos_bias_v,
+    return _attn_core(statics, q_rm, kv_h, p_h, pos_bias_u, pos_bias_v,
                       lens, seed)
