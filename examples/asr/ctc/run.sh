@@ -11,6 +11,10 @@ config=${config:-conf/chunkformer-ctc-small.yaml}
 train_tsv=${train_tsv:-$data/train.tsv}
 test_tsv=${test_tsv:-$data/test.tsv}
 avg_num=${avg_num:-5}
+# vocabulary: bpemode=char (default) builds char units; bpemode=bpe|unigram
+# trains a sentencepiece model of nbpe pieces (reference run.sh:96-113)
+bpemode=${bpemode:-char}
+nbpe=${nbpe:-5000}
 
 cd "$(dirname "$0")"
 export PYTHONPATH=$(git rev-parse --show-toplevel 2>/dev/null || echo ../../..):${PYTHONPATH:-}
@@ -30,7 +34,30 @@ if [ ${stage} -le 1 ] && [ ${stop_stage} -ge 1 ]; then
     --in_list "$data/train.list" --out_cmvn "$data/train/global_cmvn"
 fi
 
-if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ]; then
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ] && [ "$bpemode" != "char" ]; then
+  echo "stage 2: build vocab (${bpemode}${nbpe} sentencepiece units)"
+  mkdir -p "$data/lang_char"
+  dict=$data/lang_char/units.txt
+  bpemodel=$data/lang_char/train_${bpemode}${nbpe}
+  # transcripts only (tsv col 3) feed the spm trainer
+  cut -f 3- "$data/train.list" > "$data/lang_char/input.txt"
+  python ../../../tools/spm_train.py --input="$data/lang_char/input.txt" \
+    --vocab_size=${nbpe} --model_type=${bpemode} --model_prefix="$bpemodel" \
+    --input_sentence_size=100000000
+  {
+    echo "<blank> 0"; echo "<unk> 1"
+    python ../../../tools/spm_encode.py --model="$bpemodel.model" \
+      --output_format=piece < "$data/lang_char/input.txt" \
+      | tr ' ' '\n' | sort -u | grep -v '^$' | awk '{print $0 " " NR+1}'
+  } > "$dict"
+  n=$(wc -l < "$dict")
+  echo "<sos/eos> $n" >> "$dict"
+  echo "built $dict ($(wc -l < "$dict") entries); pass
+  --override_config \"tokenizer bpe\"
+  --override_config \"tokenizer_conf.bpe_model $bpemodel.model\" at stage 3"
+fi
+
+if [ ${stage} -le 2 ] && [ ${stop_stage} -ge 2 ] && [ "$bpemode" = "char" ]; then
   echo "stage 2: build vocab (char units from transcripts)"
   mkdir -p "$data/lang_char"
   python - "$data/train.list" "$data/lang_char/units.txt" <<'EOF'
@@ -51,11 +78,17 @@ fi
 
 if [ ${stage} -le 3 ] && [ ${stop_stage} -ge 3 ]; then
   echo "stage 3: train"
+  if [ "$bpemode" = "char" ]; then
+    tok_overrides=(--override_config "tokenizer char")
+  else
+    tok_overrides=(--override_config "tokenizer bpe"
+                   --override_config "tokenizer_conf.bpe_model $data/lang_char/train_${bpemode}${nbpe}.model")
+  fi
   python -m chunkformer_tpu.bin.train \
     --config "$config" \
     --train_data "$data/train.list" --cv_data "$data/dev.list" \
     --model_dir "$exp" \
-    --override_config "tokenizer char" \
+    "${tok_overrides[@]}" \
     --override_config "tokenizer_conf.symbol_table_path $data/lang_char/units.txt" \
     --override_config "cmvn_conf.cmvn_file $data/train/global_cmvn"
 fi

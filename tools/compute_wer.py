@@ -59,8 +59,11 @@ def edit_alignment(ref, hyp):
     return dp[n][m], list(reversed(ops))
 
 
-def load(path, to_char, case_sensitive):
+def load(path, to_char, case_sensitive, ignore=None, clusters=None,
+         keep_tags=False):
     out = {}
+    ignore = ignore or set()
+    clusters = clusters or {}
     with open(path, encoding="utf-8") as f:
         for line in f:
             parts = line.strip().split(maxsplit=1)
@@ -70,9 +73,39 @@ def load(path, to_char, case_sensitive):
             text = parts[1] if len(parts) > 1 else ""
             if not case_sensitive:
                 text = text.lower()
-            text = re.sub(r"<[^>]+>", "", text)
-            out[key] = characterize(text) if to_char else text.split()
+            if not keep_tags:
+                text = re.sub(r"<[^>]+>", "", text)
+            toks = characterize(text) if to_char else text.split()
+            toks = [clusters.get(t, t) for t in toks if t not in ignore]
+            out[key] = toks
     return out
+
+
+def load_ignore(path, case_sensitive):
+    """One word per line; removed from ref and hyp before scoring
+    (reference: tools/compute-wer.py --ig)."""
+    words = set()
+    if path:
+        for line in open(path, encoding="utf-8"):
+            w = line.strip()
+            if w:
+                words.add(w if case_sensitive else w.lower())
+    return words
+
+
+def load_clusters(path, case_sensitive):
+    """Cluster file: each line `canonical member1 member2 ...`; members score
+    as their canonical token (reference: tools/compute-wer.py cluster files)."""
+    mapping = {}
+    if path:
+        for line in open(path, encoding="utf-8"):
+            toks = line.split()
+            if len(toks) >= 2:
+                if not case_sensitive:
+                    toks = [t.lower() for t in toks]
+                for member in toks[1:]:
+                    mapping[member] = toks[0]
+    return mapping
 
 
 def main():
@@ -82,10 +115,20 @@ def main():
     ap.add_argument("--char", action="store_true", help="character-level scoring")
     ap.add_argument("--verbose", "-v", action="store_true")
     ap.add_argument("--case-sensitive", action="store_true")
+    ap.add_argument("--ig", help="ignore-words file (one word per line)")
+    ap.add_argument("--cluster", help="cluster file: canonical member...")
+    ap.add_argument("--keep-tags", action="store_true",
+                    help="score <...> tags instead of stripping them")
+    ap.add_argument("--max-words-per-line", type=int, default=0,
+                    help="wrap verbose REF/HYP alignment lines")
     args = ap.parse_args()
 
-    refs = load(args.ref, args.char, args.case_sensitive)
-    hyps = load(args.hyp, args.char, args.case_sensitive)
+    ignore = load_ignore(args.ig, args.case_sensitive)
+    clusters = load_clusters(args.cluster, args.case_sensitive)
+    refs = load(args.ref, args.char, args.case_sensitive, ignore, clusters,
+                args.keep_tags)
+    hyps = load(args.hyp, args.char, args.case_sensitive, ignore, clusters,
+                args.keep_tags)
 
     total_err = total_words = 0
     subs = inss = dels = 0
@@ -113,8 +156,10 @@ def main():
                 h_line.append(h.ljust(width))
                 ri += op in ("ok", "sub", "del")
                 hi += op in ("ok", "sub", "ins")
-            print("REF:", " ".join(r_line))
-            print("HYP:", " ".join(h_line))
+            wrap = args.max_words_per_line or len(r_line) or 1
+            for s in range(0, max(len(r_line), 1), wrap):
+                print("REF:", " ".join(r_line[s:s + wrap]))
+                print("HYP:", " ".join(h_line[s:s + wrap]))
             wer = dist / max(len(ref), 1) * 100
             print(f"WER: {wer:.2f}% N={len(ref)} S={ops.count('sub')} "
                   f"I={ops.count('ins')} D={ops.count('del')}\n")
