@@ -93,7 +93,9 @@ def main(argv=None):
     from ..api import ChunkFormerModel
     from ..data.pipeline import text_line_source
     from ..decode.outputs import tokens_to_text, word_error_rate
-    from ..decode.search import (attention_beam_search, attention_rescoring,
+    from ..decode.search import (attention_beam_search,
+                                 attention_beam_search_device,
+                                 attention_rescoring,
                                  ctc_greedy_search, ctc_prefix_beam_search)
 
     model = ChunkFormerModel.from_pretrained(args.model_checkpoint)
@@ -158,8 +160,11 @@ def main(argv=None):
                 results = batched_beam_to_results(toks, tlens, scores)
             elif mode == "attention":
                 mask = np.arange(enc_out.shape[1])[None, :] < enc_lens[:, None]
-                results = attention_beam_search(model.params, cfg, enc_out,
-                                                jnp.asarray(mask), args.beam_size)
+                # device-scan beam: one sync per batch instead of one per
+                # decode step (host loop kept as the parity oracle)
+                results = attention_beam_search_device(
+                    model.params, cfg, enc_out, jnp.asarray(mask),
+                    args.beam_size)
             elif mode == "attention_rescoring":
                 prefix = ctc_prefix_beam_search(logp, enc_lens, args.beam_size,
                                                 context_graph)

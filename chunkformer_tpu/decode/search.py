@@ -274,6 +274,94 @@ def attention_beam_search(
     return results
 
 
+def attention_beam_search_device(
+    model_params,
+    cfg,
+    encoder_out: jnp.ndarray,
+    encoder_mask: jnp.ndarray,
+    beam_size: int = 10,
+    length_penalty: float = 0.0,
+    blank_id: int = 0,
+) -> List[DecodeResult]:
+    """Device-scan attention beam search: ONE jitted ``lax.scan`` per batch.
+
+    Same algorithm as :func:`attention_beam_search` (the host loop above,
+    kept as the oracle; reference: chunkformer/modules/search.py:252-355),
+    but the per-step top-k, parent gather of hypotheses, finished masking,
+    and KV-cache reindexing all run on device — one device sync per
+    utterance batch instead of one per decode step (the host loop pays a
+    link round-trip per token, latency-dominated on remote TPU setups;
+    VERDICT r4 item 3/4). Mirrors decode/batched_beam.py's design.
+    """
+    from ..nn.decoder import decoder_step, init_decoder_cache
+    from ..ops.masks import mask_finished_scores
+
+    dec_cfg = cfg.decoder_conf
+    vocab = cfg.vocab_size
+    sos = eos = vocab - 1
+    b, t, d = encoder_out.shape
+    n = beam_size
+    max_len = min(t, 512)
+
+    memory = jnp.repeat(encoder_out, n, axis=0)              # [B*N, T, D]
+    mem_mask = jnp.repeat(encoder_mask, n, axis=0)
+    n_layers = jax.tree.leaves(
+        model_params["decoder"]["left"]["layers"])[0].shape[0]
+
+    @jax.jit
+    def run():
+        cache = init_decoder_cache(dec_cfg, n_layers, b * n, max_len + 1, d,
+                                   encoder_out.dtype)
+        hyps = jnp.full((b * n, max_len + 1), eos, jnp.int32)
+        hyps = hyps.at[:, 0].set(sos)
+        scores = jnp.full((b, n), -jnp.inf, jnp.float32).at[:, 0].set(0.0)
+        scores = scores.reshape(-1)
+        finished = jnp.zeros((b * n,), bool)
+
+        def step(carry, pos):
+            hyps, scores, finished, cache = carry
+            tok_in = jnp.take(hyps, pos, axis=1)
+            logp, cache = decoder_step(model_params["decoder"], dec_cfg,
+                                       memory, mem_mask, tok_in, pos, cache)
+            logp = mask_finished_scores(logp.astype(jnp.float32), finished,
+                                        eos)
+            flat = (logp + scores[:, None]).reshape(b, n * vocab)
+            best_scores, best = jax.lax.top_k(flat, n)       # sorted desc
+            beam_idx = best // vocab
+            tok = (best % vocab).astype(jnp.int32)
+            parent = (beam_idx + jnp.arange(b)[:, None] * n).reshape(-1)
+            hyps = hyps[parent].at[:, pos + 1].set(tok.reshape(-1))
+            finished = finished[parent] | (tok.reshape(-1) == eos)
+            cache = jax.tree.map(lambda c: c[:, parent], cache)
+            return (hyps, best_scores.reshape(-1), finished, cache), None
+
+        (hyps, scores, finished, _), _ = jax.lax.scan(
+            step, (hyps, scores, finished, cache), jnp.arange(max_len))
+        return hyps, scores
+
+    hyps, scores = run()
+    hyps = np.asarray(hyps)
+    scores = np.asarray(scores).reshape(b, n)
+
+    results = []
+    for bi in range(b):
+        cands = []
+        for ni in range(n):
+            toks = []
+            for tk in hyps[bi * n + ni, 1:]:
+                if tk == eos:
+                    break
+                toks.append(int(tk))
+            cands.append(toks)
+        pen = np.array([((5 + len(tk)) / 6) ** length_penalty
+                        if length_penalty else 1.0 for tk in cands])
+        final = scores[bi] / pen
+        best_i = int(np.argmax(final))
+        results.append(DecodeResult(tokens=cands[best_i],
+                                    score=float(final[best_i])))
+    return results
+
+
 def attention_rescoring(
     model_params,
     cfg,

@@ -138,3 +138,17 @@ def test_attention_rescoring_picks_from_nbest(aed_setup):
                                    ctc_weight=0.3, reverse_weight=0.3)
     for res, pre in zip(rescored, prefix):
         assert res.tokens in pre.nbest
+
+
+def test_attention_beam_search_device_matches_host(aed_setup):
+    """The device-scan beam (one jitted lax.scan, single sync) must produce
+    token-identical results to the per-step host loop (VERDICT r4 item 4)."""
+    from chunkformer_tpu.decode.search import attention_beam_search_device
+
+    cfg, params, enc_out = aed_setup
+    mask = jnp.asarray(np.array([[True] * 9, [True] * 6 + [False] * 3]))
+    host = attention_beam_search(params, cfg, enc_out, mask, beam_size=4)
+    dev = attention_beam_search_device(params, cfg, enc_out, mask, beam_size=4)
+    assert [r.tokens for r in dev] == [r.tokens for r in host]
+    for rh, rd in zip(host, dev):
+        assert abs(rh.score - rd.score) < 1e-3
