@@ -170,7 +170,9 @@ def _prepare_train(jax, c: int, left: int, right: int):
         donate_argnums=(0,))
     state = create_train_state(jax.tree.map(jnp.asarray, t_params), optimizer)
 
-    b, t_frames, u = 16, 1600, 48  # 16 utts x 16 s = 256 audio-s per step
+    b, t_frames, u = 32, 1600, 48  # 32 utts x 16 s = 512 audio-s per step
+    # (production-sized batch; param-bound costs — optimizer, grad-norm,
+    # weight casts — amortize over 2x the audio vs the old b=16)
     rng = np.random.default_rng(2)
     t_feats = jnp.asarray(rng.normal(size=(b, t_frames, 80)), jnp.bfloat16)
     t_lens = jnp.full((b,), t_frames, jnp.int32)
@@ -181,11 +183,12 @@ def _prepare_train(jax, c: int, left: int, right: int):
     # shape (see train/executor.py)
     key = jax.random.key(0, impl="rbg")
 
-    # one warmup call on this thread compiles AND warms the jit call cache
-    # (state is donated; pass the returned state to the timed steps)
-    state, metrics = train_step(state, t_feats, t_lens, targets, tgt_lens, key)
-    float(np.asarray(metrics["loss"]))
-    _log("train-step program ready")
+    # AOT-compile only — do NOT execute here: a warmup step on this worker
+    # thread could land inside the timed stage-1/2 reps and perturb them
+    # (ADVICE r4 item 3). Stage 3 runs its own warmup before timing.
+    train_step = train_step.lower(state, t_feats, t_lens, targets, tgt_lens,
+                                  key).compile()
+    _log("train-step program ready (compiled, not yet executed)")
     return (train_cfg, train_step, state, t_feats, t_lens, targets, tgt_lens,
             key, b, t_frames, u)
 
@@ -343,6 +346,10 @@ def main():
     (train_cfg, train_step, state, t_feats, t_lens, targets, tgt_lens,
      key, b, t_frames, u) = train_fut.result()
     train_pool.shutdown()
+    # first execution (device warmup) happens here, after the timed
+    # stage-1/2 loops; state is donated so chain the returned one
+    state, metrics = train_step(state, t_feats, t_lens, targets, tgt_lens, key)
+    float(np.asarray(metrics["loss"]))
     _log("train program ready; timing 5 steps")
     n_steps = 5
     t0 = time.perf_counter()

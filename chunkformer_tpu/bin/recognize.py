@@ -129,10 +129,15 @@ def main(argv=None):
         if args.simulate_streaming:
             if args.chunk_size <= 0:
                 raise SystemExit("--simulate_streaming requires --chunk_size > 0")
+            if args.left_context_size < 0 or args.right_context_size < 0:
+                # the batch path's -1 = "full context" convention has no
+                # streaming counterpart; silently clamping to 0 would quietly
+                # produce much worse transcripts (ADVICE r4 item 4)
+                raise SystemExit("--simulate_streaming requires non-negative "
+                                 "--left_context_size/--right_context_size")
             enc_out, enc_lens = _streaming_encode(
                 model, xs, lens, args.chunk_size,
-                max(args.left_context_size, 0),
-                max(args.right_context_size, 0))
+                args.left_context_size, args.right_context_size)
         else:
             enc_out, enc_lens = model.encode(xs, lens, args.chunk_size,
                                              args.left_context_size, args.right_context_size)
