@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--sharding", default="dp", choices=["dp", "fsdp", "tp", "fsdp_tp"])
     p.add_argument("--tp_size", type=int, default=1)
     p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--freeze_modules", default=None,
+                   help="comma list of param-path substrings to freeze "
+                        "(e.g. 'encoder.embed,encoder.layers')")
     p.add_argument("--enc_init", default=None, help="dir of pretrained model")
     p.add_argument("--enc_init_mods", default="encoder.",
                    help="comma-separated path regexes to copy")
@@ -125,6 +128,11 @@ def main(argv=None):
         raw.get("optim", "adam"), raw.get("optim_conf", {"lr": 1e-3}),
         raw.get("scheduler", "warmuplr"), raw.get("scheduler_conf", {}),
         raw.get("grad_clip", 5.0))
+    if args.freeze_modules:
+        from ..train.optim import freeze_modules
+
+        optimizer = freeze_modules(optimizer, params,
+                                   args.freeze_modules.split(","))
     state = create_train_state(params, optimizer)
 
     start_epoch = 0

@@ -126,6 +126,27 @@ def build_schedule(name: str, conf: Dict[str, Any]):
     return SCHEDULERS[key](**conf)
 
 
+def freeze_modules(optimizer, params, patterns):
+    """Freeze params whose dot-joined path contains any pattern substring
+    (reference: utils/train_utils.py:897-903 freeze_modules). Frozen leaves
+    get optax.set_to_zero so they never move (and carry no optimizer state).
+    """
+    import jax
+
+    pats = [p for p in patterns if p]
+    if not pats:
+        return optimizer
+
+    def label(path, _leaf):
+        name = ".".join(
+            getattr(k, "key", getattr(k, "idx", k)).__str__() for k in path)
+        return "freeze" if any(pt in name for pt in pats) else "train"
+
+    labels = jax.tree_util.tree_map_with_path(label, params)
+    return optax.multi_transform(
+        {"train": optimizer, "freeze": optax.set_to_zero()}, labels)
+
+
 def build_optimizer(optim: str, optim_conf: Dict[str, Any], scheduler: str,
                     scheduler_conf: Dict[str, Any], grad_clip: float = 5.0):
     """adam/adamw + schedule + clipping (reference: utils/train_utils.py:490-566)."""

@@ -215,3 +215,47 @@ def test_transducer_pruned_loss_close_to_full():
                                  train=False)["loss"]
     # prune_range 8 > U+1=6 -> band covers the lattice -> identical loss
     np.testing.assert_allclose(float(band), float(full), rtol=1e-4)
+
+
+def test_freeze_modules_keeps_params_fixed():
+    """--freeze_modules equivalent: frozen subtrees must not move while the
+    rest trains (reference: utils/train_utils.py:897-903)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from chunkformer_tpu.config import ChunkFormerConfig
+    from chunkformer_tpu.models.asr import init_asr_model
+    from chunkformer_tpu.train.optim import build_optimizer, freeze_modules
+    from chunkformer_tpu.train.train_step import (create_train_state,
+                                                  make_train_step)
+
+    cfg = ChunkFormerConfig.from_dict({
+        "model": "asr_model",
+        "encoder_conf": {"output_size": 32, "attention_heads": 2,
+                         "linear_units": 64, "num_blocks": 1,
+                         "cnn_module_norm": "layer_norm",
+                         "use_pallas_train": False},
+        "model_conf": {"ctc_weight": 1.0},
+        "output_dim": 8,
+    })
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    opt, _ = build_optimizer("adam", {"lr": 1e-2}, "warmuplr",
+                             {"warmup_steps": 1})
+    opt = freeze_modules(opt, params, ["encoder.embed"])
+    step = make_train_step(cfg, opt)
+    state = create_train_state(params, opt)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 80, 80)), jnp.float32)
+    st2, _ = step(state, feats, jnp.array([80, 60], jnp.int32),
+                  jnp.asarray(rng.integers(1, 7, size=(2, 3)), jnp.int32),
+                  jnp.array([3, 3], jnp.int32), jax.random.PRNGKey(1))
+
+    frozen_a = jax.tree.leaves(params["encoder"]["embed"])
+    frozen_b = jax.tree.leaves(st2.params["encoder"]["embed"])
+    for a, b in zip(frozen_a, frozen_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    moved = [not np.allclose(np.asarray(a), np.asarray(b))
+             for a, b in zip(jax.tree.leaves(params["encoder"]["layers"]),
+                             jax.tree.leaves(st2.params["encoder"]["layers"]))]
+    assert any(moved), "unfrozen params should have moved"
