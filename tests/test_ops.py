@@ -133,3 +133,21 @@ def test_ctc_forced_align_recovers_sequence():
 def test_remove_duplicates_and_blank():
     assert remove_duplicates_and_blank([0, 1, 1, 0, 2, 2, 2, 0, 1]) == [1, 2, 1]
     assert remove_duplicates_and_blank([0, 0]) == []
+
+
+def test_device_pack_segment_matches_window_gather():
+    """The K-slab reshape form of device_pack_segment must equal the naive
+    overlapping-window gather (row i = raw frames [start + i*step, +size))."""
+    from chunkformer_tpu.ops.chunk import SUBSAMPLING_CONTEXT, device_pack_segment
+
+    rng = np.random.default_rng(3)
+    feats = jnp.asarray(rng.normal(size=(2000, 80)), jnp.float32)
+    for c, cap, start in [(64, 3, 0), (64, 2, 512), (4, 7, 33)]:
+        got = np.asarray(device_pack_segment(
+            feats, jnp.asarray(start, jnp.int32), c, capacity=cap))
+        size = (c - 1) * 8 + SUBSAMPLING_CONTEXT
+        step = 8 * c
+        fnp = np.asarray(feats)
+        for i in range(cap):
+            w = fnp[start + i * step: start + i * step + size]
+            np.testing.assert_array_equal(got[i, :w.shape[0]], w)
