@@ -298,11 +298,9 @@ def attention_parallel_chunk_pallas(
         g = 8
         wq = p["q"]["w"].astype(x.dtype).reshape(d, heads, d_k)
         q_rm = jnp.einsum("ncf,fhd->nhcd", x, wq)
-        q_rr = jnp.einsum("agcf,fhd->ahcgd", x.reshape(n // g, g, c, d), wq)
         if "b" in p["q"]:  # query_bias=False checkpoints have no 'b'
             bq = p["q"]["b"].astype(x.dtype).reshape(heads, d_k)
             q_rm = q_rm + bq[None, :, None, :]
-            q_rr = q_rr + bq[None, :, None, None, :]
         xt = x.reshape(n * c, d)
         # fused per-head KV weights: one matmul emits the kernel's head-major
         # [H, T, 2dk] stream directly (lane dim 2dk = 128, Mosaic-tileable)
@@ -328,7 +326,7 @@ def attention_parallel_chunk_pallas(
         p_h = jnp.einsum("pf,fhd->hpd", pos_emb.astype(x.dtype),
                          p["pos"]["w"].astype(x.dtype).reshape(d, heads, d_k))
         ctx = chunk_attention_pallas_union_hmajor(
-            q_rm, q_rr, kv_full, p_h,
+            q_rm, kv_full, p_h,
             p["pos_bias_u"].astype(x.dtype), p["pos_bias_v"].astype(x.dtype),
             chunk_idx, offsets, max_lens,
             chunk=c, left=L, right=R, g=g, interpret=interpret)

@@ -325,7 +325,6 @@ def chunk_attention_pallas_union(
     n, c, heads, d_k = q.shape
     out = chunk_attention_pallas_union_hmajor(
         q.transpose(0, 2, 1, 3),
-        q.reshape(n // g, g, c, heads, d_k).transpose(0, 3, 2, 1, 4),
         kv_flat.transpose(1, 0, 2),
         p_proj.transpose(1, 0, 2), pos_bias_u, pos_bias_v,
         chunk_idx, offsets, max_lens,
@@ -335,7 +334,6 @@ def chunk_attention_pallas_union(
 
 def chunk_attention_pallas_union_hmajor(
     q_rm: jnp.ndarray,        # [N, H, c, dk] queries, row-major (g, rr)
-    q_rr: jnp.ndarray,        # [N/G, H, c, G, dk] queries, rr-major
     kv_h: jnp.ndarray,        # [H, L + N*c + R, 2dk] fused flat KV stream
     p_h: jnp.ndarray,         # [H, P, dk] projected positional encodings
     pos_bias_u: jnp.ndarray,  # [H, dk]
@@ -379,9 +377,9 @@ def chunk_attention_pallas_union_hmajor(
     assert p_len == 2 * c - 1 + left + right, (p_len, c, left, right)
     inv_sqrt = 1.0 / math.sqrt(d_k)
 
-    def kernel(q_ref, q_rr_ref, kv_hbm, p_ref, u_ref, v_ref,
+    def kernel(q_ref, kv_hbm, p_ref, u_ref, v_ref,
                ci_ref, off_ref, ml_ref,
-               out_ref, kv_scratch, bd_scratch, shift_scratch,
+               out_ref, kv_scratch, qrr_scratch, bd_scratch, shift_scratch,
                score_scratch, sem):
         i = pl.program_id(0)
         h = pl.program_id(1)
@@ -393,12 +391,21 @@ def chunk_attention_pallas_union_hmajor(
         u = u_ref[0, 0, :]
         v_bias = v_ref[0, 0, :]
 
-        # bd in rr-major (host-side relayout) so the rel-shift moves
-        # full-sublane [G, W] slabs; 1/sqrt(dk) is folded into the query
-        # biases so the [t1, union] score slab never needs a scaling pass
-        qv = ((q_rr_ref[0, 0] + v_bias) * inv_sqrt).reshape(t1, d_k)
+        # bd in rr-major so the rel-shift moves full-sublane [G, W] slabs.
+        # The rr-major layout is built IN VMEM from the row-major query block
+        # (g slab copies into an f32 scratch — bf16 tiling rejects 1-sublane
+        # middle-dim stores) instead of shipping a second relayout of q from
+        # HBM: the agcf->ahcgd einsum + its copy measured 4.2 ms/call at the
+        # flagship segment shape. 1/sqrt(dk) is folded into the query biases
+        # so the [t1, union] score slab never needs a scaling pass.
+        q_rm_val = q_ref[:, 0]                        # [g, c, dk] row-major
+        for gg in range(g):
+            qrr_scratch[:, gg, :] = q_rm_val[gg].astype(jnp.float32)
+        qv = ((qrr_scratch[:].reshape(t1, d_k)
+               + v_bias.astype(jnp.float32)) * inv_sqrt)
         bd_scratch[:] = jax.lax.dot_general(
-            qv, p_ref[0, :, :], dimension_numbers=(((1,), (1,)), ((), ())),
+            qv, p_ref[0, :, :].astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         for rr in range(c):
             shift_scratch[rr * g:(rr + 1) * g, :] = bd_scratch[
@@ -409,7 +416,7 @@ def chunk_attention_pallas_union_hmajor(
         k_u = kv_scratch[:, :d_k]                     # [union, dk]
         v_u = kv_scratch[:, d_k:]
 
-        qu = ((q_ref[:, 0] + u) * inv_sqrt).reshape(t1, d_k)  # row-major (g, rr)
+        qu = ((q_rm_val + u) * inv_sqrt).reshape(t1, d_k)  # row-major (g, rr)
         score_scratch[:] = jax.lax.dot_general(
             qu, k_u, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [t1, union]
@@ -456,8 +463,6 @@ def chunk_attention_pallas_union_hmajor(
         in_specs=[
             pl.BlockSpec((g, 1, c, d_k), lambda i, h: (i, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, g, d_k), lambda i, h: (i, h, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, p_len, d_k), lambda i, h: (h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -474,6 +479,7 @@ def chunk_attention_pallas_union_hmajor(
         out_shape=jax.ShapeDtypeStruct((n, heads, c, d_k), q_rm.dtype),
         scratch_shapes=[
             pltpu.VMEM((union, 2 * d_k), kv_h.dtype),
+            pltpu.VMEM((c, g, d_k), jnp.float32),
             pltpu.VMEM((t1, p_len), jnp.float32),
             pltpu.VMEM((t1, w), jnp.float32),
             pltpu.VMEM((t1, union), jnp.float32),
@@ -485,7 +491,7 @@ def chunk_attention_pallas_union_hmajor(
             * (t1 * d_k * 2 + union * 2 * d_k) * q_rm.dtype.itemsize,
             transcendentals=n * heads * c * union,
         ),
-    )(q_rm, q_rr, kv_h,
+    )(q_rm, kv_h,
       p_h, pos_bias_u[:, None, :], pos_bias_v[:, None, :],
       chunk_idx.astype(jnp.int32)[:, None], offsets.astype(jnp.int32)[:, None],
       max_lens.astype(jnp.int32)[:, None])
