@@ -154,9 +154,10 @@ def attention_chunked_train_pallas(
     gradient-check oracle. ``lens``: [B] valid (subsampled) frames.
 
     Every kernel operand is produced directly in the layout the kernel blocks
-    want (head-major KV stream, row-major + rr-major queries) by reshaping
-    the projection weights — no activation-sized transposes, mirroring the
-    inference fast path in attention_parallel_chunk_pallas.
+    want (head-major KV stream, row-major queries; the rr-major layout is
+    derived inside the kernel) by reshaping the projection weights — no
+    activation-sized transposes, mirroring the inference fast path in
+    attention_parallel_chunk_pallas.
     """
     from ..ops.pallas.chunk_attention_train import (chunk_train_attention,
                                                    pick_group)
