@@ -217,3 +217,48 @@ def test_recognize_cli_simulate_streaming(tmp_path, tmp_path_factory):
     got = (tmp_path / "stream" / "ctc_greedy_search.txt").read_text()
     want = (tmp_path / "batch" / "ctc_greedy_search.txt").read_text()
     assert got == want
+
+
+def test_eval_reference_wer_gate_runs(tmp_path):
+    """tools/eval_reference_wer.py end-to-end with a random-weight export:
+    the gate pipeline (endless + batch decode, WER + consistency metrics)
+    must run and FAIL the thresholds (random weights), rc=1."""
+    import csv
+
+    import jax
+
+    from chunkformer_tpu.config import ChunkFormerConfig
+    from chunkformer_tpu.export import export_model_dir
+    from chunkformer_tpu.models.asr import init_asr_model
+    from tests.helpers import TINY_MODEL_YAML
+
+    samples = "/root/reference/samples/data.tsv"
+    if not os.path.exists(samples):
+        import pytest
+
+        pytest.skip("reference samples not mounted")
+
+    cfg = ChunkFormerConfig.from_dict(TINY_MODEL_YAML)
+    params = init_asr_model(jax.random.PRNGKey(0), cfg)
+    out = str(tmp_path / "export")
+    export_model_dir(out, TINY_MODEL_YAML, params,
+                     {f"t{i}": i for i in range(cfg.vocab_size)})
+
+    rows = list(csv.DictReader(open(samples), delimiter="\t"))[:1]
+    tsv = tmp_path / "data.tsv"
+    with open(tsv, "w") as f:
+        w = csv.DictWriter(f, fieldnames=rows[0].keys(), delimiter="\t")
+        w.writeheader()
+        for r in rows:
+            r["wav"] = "/root/reference/" + r["wav"]
+            w.writerow(r)
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "eval_reference_wer.py"),
+         "--model", out, "--data", str(tsv),
+         "--chunk", "8", "--left", "16", "--right", "16"],
+        capture_output=True, text=True, cwd=repo, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 1, (r.returncode, r.stdout[-500:], r.stderr[-2000:])
+    assert "endless WER" in r.stdout and "GATE: FAIL" in r.stdout
